@@ -1,0 +1,80 @@
+"""Test fixtures.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path). This mirrors the reference's CPU-CI tier (reference
+.github/workflows/tests_cpu.yml) while adding device-count coverage.
+"""
+
+import os
+
+# must be set before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA_DIR = "/root/reference/data/mirror-mouse-example"
+
+
+@pytest.fixture(scope="session")
+def toy_data_dir() -> str:
+    if not os.path.isdir(REFERENCE_DATA_DIR):
+        pytest.skip("mirror-mouse example data not available")
+    return REFERENCE_DATA_DIR
+
+
+@pytest.fixture(scope="session")
+def cfg(toy_data_dir):
+    """Config mirroring the reference mirror-mouse example config with
+    shrunken dims/batches for fast tests (reference tests/conftest.py:65-78)."""
+    from lightning_pose_tpu.config import load_config
+
+    cfg = load_config()
+    cfg.data.data_dir = toy_data_dir
+    cfg.data.video_dir = os.path.join(toy_data_dir, "videos")
+    cfg.data.csv_file = "CollectedData.csv"
+    cfg.data.num_keypoints = 17
+    cfg.data.keypoint_names = [
+        "paw1LH_top", "paw2LF_top", "paw3RF_top", "paw4RH_top", "tailBase_top",
+        "tailMid_top", "nose_top", "obs_top", "paw1LH_bot", "paw2LF_bot",
+        "paw3RF_bot", "paw4RH_bot", "tailBase_bot", "tailMid_bot", "nose_bot",
+        "obsHigh_bot", "obsLow_bot",
+    ]
+    cfg.data.image_resize_dims.height = 128
+    cfg.data.image_resize_dims.width = 128
+    cfg.data.mirrored_column_matches = [
+        [0, 1, 2, 3, 4, 5, 6],
+        [8, 9, 10, 11, 12, 13, 14],
+    ]
+    cfg.data.columns_for_singleview_pca = [0, 1, 2, 3, 4, 5, 6]
+    cfg.training.train_batch_size = 2
+    cfg.training.val_batch_size = 4
+    cfg.training.test_batch_size = 4
+    cfg.training.train_prob = 0.8
+    cfg.training.val_prob = 0.1
+    cfg.training.train_frames = 1
+    cfg.training.imgaug = "dlc"
+    cfg.training.max_epochs = 2
+    cfg.training.min_epochs = 2
+    cfg.training.unfreezing_epoch = 1
+    cfg.training.check_val_every_n_epoch = 1
+    cfg.training.rng_seed_data_pt = 42
+    cfg.training.rng_seed_model_pt = 44
+    cfg.model.model_type = "heatmap"
+    cfg.model.backbone = "resnet18"
+    cfg.model.losses_to_use = []
+    cfg.dali.base.train.sequence_length = 8
+    cfg.dali.base.predict.sequence_length = 16
+    cfg.dali.context.train.batch_size = 8
+    cfg.dali.context.predict.sequence_length = 16
+    return cfg
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

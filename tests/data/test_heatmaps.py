@@ -1,0 +1,97 @@
+"""Tests for Gaussian heatmap generation/evaluation (golden-value checks
+mirroring reference tests/data/test_heatmaps.py semantics)."""
+
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.data.heatmaps import (
+    evaluate_heatmaps_at_location,
+    generate_heatmaps,
+)
+
+
+def _golden_heatmap(x, y, out_h, out_w, in_h, in_w, sigma=1.25):
+    """Independent numpy implementation of the reference math
+    (reference data/heatmaps.py:41-74)."""
+    xs = x * out_w / in_w
+    ys = y * out_h / in_h
+    xs = np.clip(xs, -1, out_w + 1)
+    ys = np.clip(ys, -1, out_h + 1)
+    yy, xx = np.meshgrid(np.arange(out_h), np.arange(out_w), indexing="ij")
+    hm = np.exp(-((yy - ys) ** 2 + (xx - xs) ** 2) / (2 * sigma**2))
+    return hm / hm.sum()
+
+
+def test_generate_heatmaps_matches_golden():
+    kps = np.array([[[100.0, 50.0], [30.5, 200.25]]], dtype=np.float32)
+    hms = np.asarray(generate_heatmaps(kps, height=256, width=256, output_shape=(64, 64)))
+    assert hms.shape == (1, 64, 64, 2)
+    for k in range(2):
+        golden = _golden_heatmap(kps[0, k, 0], kps[0, k, 1], 64, 64, 256, 256)
+        np.testing.assert_allclose(hms[0, :, :, k], golden, atol=1e-6)
+
+
+def test_generate_heatmaps_sum_to_one():
+    rng = np.random.default_rng(1)
+    kps = rng.uniform(10, 240, size=(4, 5, 2)).astype(np.float32)
+    hms = np.asarray(generate_heatmaps(kps, 256, 256, (64, 64)))
+    np.testing.assert_allclose(hms.sum(axis=(1, 2)), 1.0, atol=1e-5)
+
+
+def test_generate_heatmaps_nan_gives_zero():
+    kps = np.array([[[np.nan, 50.0], [100.0, 100.0]]], dtype=np.float32)
+    hms = np.asarray(generate_heatmaps(kps, 256, 256, (64, 64)))
+    assert hms[0, :, :, 0].sum() == 0.0
+    assert hms[0, :, :, 1].sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_generate_heatmaps_out_of_bounds_gives_zero():
+    kps = np.array([[[-100.0, 50.0], [100.0, 5000.0]]], dtype=np.float32)
+    hms = np.asarray(generate_heatmaps(kps, 256, 256, (64, 64)))
+    assert hms.sum() == 0.0
+
+
+def test_generate_heatmaps_visibility_semantics():
+    """0 -> zero map, 1 -> uniform, 2 -> gaussian (reference heatmaps.py:80-86)."""
+    kps = np.tile(np.array([[[100.0, 100.0]]], dtype=np.float32), (1, 3, 1))
+    vis = np.array([[0, 1, 2]])
+    hms = np.asarray(generate_heatmaps(kps, 256, 256, (64, 64), visibility=vis))
+    assert hms[0, :, :, 0].sum() == 0.0
+    np.testing.assert_allclose(hms[0, :, :, 1], 1.0 / (64 * 64), atol=1e-8)
+    assert hms[0, :, :, 2].max() > 1.0 / (64 * 64)
+    # visible but NaN -> zero
+    kps2 = np.array([[[np.nan, 1.0]]], dtype=np.float32)
+    hms2 = np.asarray(generate_heatmaps(kps2, 256, 256, (64, 64), visibility=np.array([[2]])))
+    assert hms2.sum() == 0.0
+
+
+def test_evaluate_heatmaps_at_location_window_sum():
+    """Confidence = 5x5 window sum around truncated-int location."""
+    hm = np.zeros((1, 64, 64, 1), dtype=np.float32)
+    hm[0, 30:33, 40:43, 0] = 1.0 / 9  # mass near (x=41, y=31)
+    locs = np.array([[[41.4, 31.7]]], dtype=np.float32)
+    conf = np.asarray(evaluate_heatmaps_at_location(hm, locs))
+    assert conf.shape == (1, 1)
+    assert conf[0, 0] == pytest.approx(1.0, abs=1e-6)
+    # far away location -> zero
+    locs2 = np.array([[[5.0, 5.0]]], dtype=np.float32)
+    conf2 = np.asarray(evaluate_heatmaps_at_location(hm, locs2))
+    assert conf2[0, 0] == 0.0
+
+
+def test_evaluate_heatmaps_edge_location():
+    hm = np.zeros((1, 64, 64, 1), dtype=np.float32)
+    hm[0, 0, 0, 0] = 1.0
+    locs = np.array([[[0.0, 0.0]]], dtype=np.float32)
+    conf = np.asarray(evaluate_heatmaps_at_location(hm, locs))
+    assert conf[0, 0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_evaluate_heatmaps_on_generated_gaussian():
+    """A clean generated gaussian should have confidence near 1 at its peak."""
+    kps = np.array([[[128.0, 128.0]]], dtype=np.float32)
+    hms = generate_heatmaps(kps, 256, 256, (64, 64))
+    locs = np.array([[[32.0, 32.0]]], dtype=np.float32)
+    conf = np.asarray(evaluate_heatmaps_at_location(hms, locs))
+    # a sigma=1.25 gaussian holds ~92% of its mass in a 5x5 window
+    assert conf[0, 0] > 0.9

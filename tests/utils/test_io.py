@@ -1,0 +1,114 @@
+"""Tests for label CSV parsing and path utilities against the bundled data."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.utils import io as io_utils
+
+
+def test_parse_label_csv(toy_data_dir):
+    csv = os.path.join(toy_data_dir, "CollectedData.csv")
+    data = io_utils.parse_label_csv(csv)
+    assert len(data.keypoint_names) == 17
+    assert data.keypoint_names[0] == "paw1LH_top"
+    assert data.keypoint_names[-1] == "obsLow_bot"
+    assert data.keypoints.shape == (len(data.image_names), 17, 2)
+    assert data.keypoints.dtype == np.float32
+    assert data.visibility is None
+    # spot-check first row against the raw CSV
+    assert data.keypoints[0, 0, 0] == pytest.approx(77.25)
+    assert data.keypoints[0, 0, 1] == pytest.approx(36.25)
+    # nan entries preserved
+    assert np.isnan(data.keypoints).any()
+
+
+def test_get_keypoint_names(toy_data_dir):
+    csv = os.path.join(toy_data_dir, "CollectedData.csv")
+    names = io_utils.get_keypoint_names(csv_file=csv)
+    assert len(names) == 17
+
+
+def test_get_videos_in_dir(toy_data_dir):
+    vids = io_utils.get_videos_in_dir(os.path.join(toy_data_dir, "videos"))
+    assert len(vids) >= 1
+    assert all(v.endswith(".mp4") for v in vids)
+
+
+def test_check_video_paths_single_file(toy_data_dir):
+    vids = io_utils.get_videos_in_dir(os.path.join(toy_data_dir, "videos"))
+    out = io_utils.check_video_paths(vids[0])
+    assert out == [vids[0]]
+
+
+def test_get_context_img_paths():
+    paths = io_utils.get_context_img_paths(Path("labeled-data/img000017.png"))
+    assert [p.name for p in paths] == [
+        "img000015.png", "img000016.png", "img000017.png",
+        "img000018.png", "img000019.png",
+    ]
+    # negative indices floored at 0
+    paths = io_utils.get_context_img_paths(Path("labeled-data/img001.png"))
+    assert [p.name for p in paths] == [
+        "img000.png", "img000.png", "img001.png", "img002.png", "img003.png",
+    ]
+
+
+def test_ckpt_path_from_base_path(tmp_path):
+    base = tmp_path
+    ckpt_dir = base / "tb_logs" / "m" / "version_1" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    (ckpt_dir / "epoch=3-step=100.ckpt").touch()
+    (ckpt_dir / "epoch=5-step=200-best.ckpt").touch()
+    old = base / "tb_logs" / "m" / "version_0" / "checkpoints"
+    old.mkdir(parents=True)
+    (old / "epoch=1-step=10-best.ckpt").touch()
+    out = io_utils.ckpt_path_from_base_path(str(base), "m")
+    assert out is not None and "version_1" in out and "-best.ckpt" in out
+    # no best -> fall back to highest step
+    (ckpt_dir / "epoch=5-step=200-best.ckpt").unlink()
+    out = io_utils.ckpt_path_from_base_path(str(base), "m")
+    assert out is not None and out.endswith("epoch=3-step=100.ckpt")
+    # nothing found
+    assert io_utils.ckpt_path_from_base_path(str(tmp_path / "nope"), "m") is None
+
+
+def test_split_video_files_by_view(tmp_path):
+    files = [
+        Path("sess0_top.mp4"), Path("sess0_bot.mp4"),
+        Path("sess1_top.mp4"), Path("sess1_bot.mp4"),
+        Path("sess2_top.mp4"),  # missing bot -> skipped
+    ]
+    out = io_utils.split_video_files_by_view(files, ["top", "bot"])
+    assert len(out) == 2
+    assert out[0][0].name == "sess0_top.mp4"
+    assert out[0][1].name == "sess0_bot.mp4"
+
+
+def test_extract_session_name():
+    assert io_utils.extract_session_name_from_video("mouse_top_3.mp4", ["top"]) == "mouse_3"
+    assert io_utils.extract_session_name_from_video("plain.mp4", ["top"]) == "plain"
+
+
+def test_make_dlc_pandas_index():
+    from lightning_pose_tpu.config import Config
+
+    cfg = Config({"model": {"model_type": "heatmap"}})
+    idx = io_utils.make_dlc_pandas_index(cfg, ["a", "b"])
+    assert idx.names == ["scorer", "bodyparts", "coords"]
+    assert list(idx)[0] == ("heatmap_tracker", "a", "x")
+    assert len(idx) == 6
+
+
+def test_fix_empty_first_row():
+    import pandas as pd
+
+    cols = pd.MultiIndex.from_product([["s"], ["kp"], ["x", "y"]])
+    df = pd.DataFrame([[1.0, 2.0]], index=pd.Index(["img1.png"]), columns=cols)
+    df.index.name = "img0.png"  # pandas absorbed the all-NaN first row
+    fixed = io_utils.fix_empty_first_row(df)
+    assert fixed.index.name is None
+    assert len(fixed) == 2
+    assert np.isnan(fixed.iloc[0, 0])
