@@ -246,6 +246,15 @@ class Config:
             key, _, raw = ov.partition("=")
             key = key.strip().lstrip("+")
             value = yaml.safe_load(raw) if raw != "" else None
+            if isinstance(value, str):
+                # YAML 1.1 doesn't parse "1e-3" as a float; coerce numerics
+                try:
+                    value = int(value)
+                except ValueError:
+                    try:
+                        value = float(value)
+                    except ValueError:
+                        pass
             self.update_at(key, value)
 
     # -- serialization ---------------------------------------------------------
