@@ -18,8 +18,6 @@ out-of-range keypoints always produce a zero map.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,10 +25,6 @@ import numpy as np
 __all__ = ["generate_heatmaps", "evaluate_heatmaps_at_location"]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("height", "width", "output_shape", "sigma"),
-)
 def generate_heatmaps(
     keypoints: jax.Array,
     height: int,
@@ -89,7 +83,6 @@ def generate_heatmaps(
     return heatmaps
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "num_stds"))
 def evaluate_heatmaps_at_location(
     heatmaps: jax.Array,
     locs: jax.Array,
@@ -112,15 +105,22 @@ def evaluate_heatmaps_at_location(
     """
     pix = int(np.floor(sigma * num_stds))
     window = 2 * pix + 1
-    summed = jax.lax.reduce_window(
-        heatmaps,
-        jnp.float32(0.0),
-        jax.lax.add,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (pix, pix), (pix, pix), (0, 0)),
+    # separable box filter as two depthwise convs (zero padding)
+    k = heatmaps.shape[-1]
+    ones_h = jnp.ones((window, 1, 1, k), dtype=heatmaps.dtype)
+    ones_w = jnp.ones((1, window, 1, k), dtype=heatmaps.dtype)
+    summed = jax.lax.conv_general_dilated(
+        heatmaps, ones_h, (1, 1), [(pix, pix), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=k,
     )
-    b, h, w, k = heatmaps.shape
+    summed = jax.lax.conv_general_dilated(
+        summed, ones_w, (1, 1), [(0, 0), (pix, pix)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=k,
+    )
+    b, h, w, _ = heatmaps.shape
+    # integer indexing carries no gradient wrt locations (the reference's
+    # torch int64 cast likewise); heatmap values keep their gradient
+    locs = jax.lax.stop_gradient(locs)
     # truncate-toward-zero like torch .type(torch.int64)
     xi = jnp.clip(locs[:, :, 0].astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(locs[:, :, 1].astype(jnp.int32), 0, h - 1)

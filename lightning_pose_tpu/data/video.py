@@ -1,0 +1,267 @@
+"""Host video decode pipeline — the DALI replacement.
+
+The reference feeds unlabeled video through NVIDIA DALI's GPU decoder
+(reference lightning_pose/data/dali.py:70-778). On TPU there is no NVDEC;
+the TPU-native design is a **host decode stage** (OpenCV's C++/ffmpeg
+decoder on the TPU-VM's many CPU cores) with background prefetch threads
+feeding fixed-shape uint8 batches, while resize/normalize/augment run fused
+on device.
+
+Batch policies mirror the DALI pipes (reference dali.py:519-562,699-760):
+
+- predict/base: sequential ``sequence_length``-frame windows; the last
+  batch is FILLed by repeating the final frame so shapes stay static.
+- predict/context: overlapping windows with step = sequence_length - 4,
+  skipping the first two frames (reference dali.py:564-673), matched by the
+  shift-by-2 fix in PredictionHandler.
+- train: random-start windows, seeded per host/replica (replaces DALI's
+  per-GPU ``device_id``/seed sharding, reference dali.py:580-592).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+
+import cv2
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "count_frames",
+    "VideoFrameDecoder",
+    "PredictVideoLoader",
+    "UnlabeledVideoLoader",
+    "undo_affine_transform_batch",
+]
+
+
+def count_frames(video_file: str) -> int:
+    """Number of frames in a video (reference data/utils.py:89)."""
+    cap = cv2.VideoCapture(str(video_file))
+    try:
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n > 0:
+            return n
+        # fall back to an exhaustive scan for containers with bad metadata
+        n = 0
+        while True:
+            ret = cap.grab()
+            if not ret:
+                break
+            n += 1
+        return n
+    finally:
+        cap.release()
+
+
+class VideoFrameDecoder:
+    """Sequential decoder: RGB uint8 frames resized on host (C++/ffmpeg)."""
+
+    def __init__(self, video_file: str, resize_height: int, resize_width: int):
+        self.video_file = str(video_file)
+        self.h = int(resize_height)
+        self.w = int(resize_width)
+        self.cap = cv2.VideoCapture(self.video_file)
+        if not self.cap.isOpened():
+            raise FileNotFoundError(f"could not open video {video_file}")
+        self.frame_count = count_frames(self.video_file)
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.orig_height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.orig_width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+
+    def read(self) -> np.ndarray | None:
+        ret, frame = self.cap.read()
+        if not ret:
+            return None
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        return cv2.resize(frame, (self.w, self.h), interpolation=cv2.INTER_LINEAR)
+
+    def seek(self, frame_idx: int) -> None:
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+
+    def close(self) -> None:
+        self.cap.release()
+
+
+class PredictVideoLoader:
+    """Fixed-shape frame batches for video inference, with background
+    prefetch overlap of decode and TPU compute."""
+
+    def __init__(
+        self,
+        video_file: str,
+        sequence_length: int,
+        resize_height: int,
+        resize_width: int,
+        do_context: bool = False,
+        prefetch_batches: int = 3,
+    ):
+        self.video_file = str(video_file)
+        self.seq_len = int(sequence_length)
+        self.h = int(resize_height)
+        self.w = int(resize_width)
+        self.do_context = do_context
+        self.prefetch_batches = prefetch_batches
+        self.frame_count = count_frames(self.video_file)
+        # context windows step by seq_len - 4 (reference dali.py:636-651)
+        self.step = self.seq_len - 4 if do_context else self.seq_len
+
+    def __len__(self) -> int:
+        if self.do_context:
+            usable = max(self.frame_count - 4, 1)
+            return int(np.ceil(usable / self.step))
+        return int(np.ceil(self.frame_count / self.seq_len))
+
+    def _produce(self, q: queue.Queue) -> None:
+        decoder = VideoFrameDecoder(self.video_file, self.h, self.w)
+        try:
+            if not self.do_context:
+                last_frame = None
+                batch = []
+                while True:
+                    frame = decoder.read()
+                    if frame is None:
+                        break
+                    last_frame = frame
+                    batch.append(frame)
+                    if len(batch) == self.seq_len:
+                        q.put(np.stack(batch))
+                        batch = []
+                if batch:
+                    # FILL policy: repeat the final frame (reference
+                    # dali.py:699-760)
+                    while len(batch) < self.seq_len:
+                        batch.append(last_frame)
+                    q.put(np.stack(batch))
+            else:
+                # overlapping windows: keep a rolling buffer
+                frames: list[np.ndarray] = []
+                while True:
+                    frame = decoder.read()
+                    if frame is None:
+                        break
+                    frames.append(frame)
+                arr = np.stack(frames) if frames else np.zeros(
+                    (1, self.h, self.w, 3), dtype=np.uint8
+                )
+                n = arr.shape[0]
+                start = 0
+                while start == 0 or start + 4 < n:
+                    window = arr[start:start + self.seq_len]
+                    if window.shape[0] < self.seq_len:
+                        pad = np.tile(
+                            window[-1:], (self.seq_len - window.shape[0], 1, 1, 1)
+                        )
+                        window = np.concatenate([window, pad], axis=0)
+                    q.put(window)
+                    start += self.step
+        finally:
+            decoder.close()
+            q.put(None)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+class UnlabeledVideoLoader:
+    """Random-window unlabeled-frame loader for semi-supervised training.
+
+    Each ``__next__`` yields a contiguous ``sequence_length``-frame window
+    starting at a random position of a randomly chosen video — the
+    counterpart of the seeded DALI random reader (reference
+    dali.py:148-152,580-592). For multi-host training, pass a distinct
+    ``shard_id`` per host to decorrelate sampling.
+    """
+
+    def __init__(
+        self,
+        video_files: list[str],
+        sequence_length: int,
+        resize_height: int,
+        resize_width: int,
+        seed: int = 123456,
+        shard_id: int = 0,
+        prefetch_batches: int = 2,
+    ):
+        assert len(video_files) > 0, "no unlabeled videos found"
+        self.video_files = [str(v) for v in video_files]
+        self.seq_len = int(sequence_length)
+        self.h = int(resize_height)
+        self.w = int(resize_width)
+        self.rng = np.random.default_rng(seed + shard_id)
+        self.frame_counts = [count_frames(v) for v in self.video_files]
+        self._decoders: dict[int, VideoFrameDecoder] = {}
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch_batches)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _decoder(self, vid_idx: int) -> VideoFrameDecoder:
+        if vid_idx not in self._decoders:
+            self._decoders[vid_idx] = VideoFrameDecoder(
+                self.video_files[vid_idx], self.h, self.w
+            )
+        return self._decoders[vid_idx]
+
+    def _produce(self) -> None:
+        while not self._stop.is_set():
+            vid_idx = int(self.rng.integers(len(self.video_files)))
+            n = self.frame_counts[vid_idx]
+            start = int(self.rng.integers(max(n - self.seq_len, 1)))
+            decoder = self._decoder(vid_idx)
+            decoder.seek(start)
+            frames = []
+            for _ in range(self.seq_len):
+                frame = decoder.read()
+                if frame is None:
+                    break
+                frames.append(frame)
+            if not frames:
+                continue
+            while len(frames) < self.seq_len:
+                frames.append(frames[-1])
+            try:
+                self._queue.put(np.stack(frames), timeout=5.0)
+            except queue.Full:
+                continue
+
+    def __next__(self) -> np.ndarray:
+        return self._queue.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        for d in self._decoders.values():
+            d.close()
+
+
+def undo_affine_transform_batch(keypoints, transforms):
+    """Invert the per-frame 2x3 augmentation matrices applied to unlabeled
+    frames (reference data/utils.py:192-235).
+
+    Args:
+        keypoints: ``(B, 2K)`` flat predicted keypoints in augmented coords.
+        transforms: ``(B, 2, 3)`` forward affine matrices (augmented =
+            M @ [x, y, 1]). A zero/identity matrix batch is a no-op.
+
+    Returns:
+        ``(B, 2K)`` keypoints mapped back to original frame coords.
+    """
+    import jax.numpy as jnp
+
+    b = keypoints.shape[0]
+    kp = keypoints.reshape(b, -1, 2)
+    a = transforms[:, :, :2]  # (B, 2, 2)
+    t = transforms[:, :, 2]  # (B, 2)
+    a_inv = jnp.linalg.inv(a)
+    kp_orig = jnp.einsum("bij,bkj->bki", a_inv, kp - t[:, None, :])
+    return kp_orig.reshape(b, -1)

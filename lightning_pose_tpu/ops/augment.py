@@ -1,0 +1,451 @@
+"""On-device batched augmentation engine — the imgaug/DALI replacement.
+
+Reproduces the semantics of the reference's imgaug presets
+(reference lightning_pose/data/augmentations.py:109-227: "dlc", "dlc-lr",
+"dlc-top-down", "dlc-mv") as one fused, jittable, batched transform:
+
+- All geometric ops — Rot90, Affine rotation (±25°, p=0.4), CropAndPad
+  (±15% per side, p=0.4, folded with the final Resize), horizontal flip —
+  compose into a single per-image 3x3 matrix; elastic deformation
+  (alpha~U(0,10), sigma=5, p=0.5) adds a smooth displacement field; and
+  MotionBlur (k=5, angle ±90°, p=0.5) becomes 5 averaged taps along the blur
+  direction. The image is sampled **once** (bilinear, zero fill) over the
+  composed grid — one gather for the whole geometric pipeline instead of
+  imgaug's sequential per-op CPU passes.
+- Photometric ops (CoarseDropout, CoarseSalt/Pepper, histogram
+  equalization, CLAHE-style clip-limited equalization, Emboss) run as
+  vectorized batch ops with per-image application masks.
+- Keypoints ride the inverse matrix (plus elastic displacement lookup);
+  horizontal flips swap _left/_right keypoint identities via a precomputed
+  index array (reference datasets.py:175-232).
+
+Known divergence from imgaug (documented, tolerance-level): photometric ops
+apply after the full geometric warp rather than interleaved between
+geometric ops, and CLAHE uses a global clip-limited equalization rather
+than 8x8 tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["AugmentationEngine", "grid_sample_bilinear"]
+
+
+# ------------------------------------------------------------------------------
+# sampling primitives
+# ------------------------------------------------------------------------------
+
+
+def grid_sample_bilinear(images: jax.Array, coords: jax.Array) -> jax.Array:
+    """Sample ``images (B, H, W, C)`` at ``coords (B, Ho, Wo, 2)`` (x, y)
+    with bilinear interpolation and zero padding outside."""
+    b, h, w, c = images.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        bidx = jnp.arange(b).reshape(b, 1, 1)
+        vals = images[bidx, yi, xi]  # (B, Ho, Wo, C)
+        return vals * valid[..., None]
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def _separable_gaussian_blur(field: jax.Array, sigma: float) -> jax.Array:
+    """Blur ``(B, H, W, C)`` with a fixed-sigma separable Gaussian."""
+    radius = int(3 * sigma)
+    xs = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-(xs**2) / (2 * sigma**2))
+    k /= k.sum()
+    k = jnp.asarray(k)
+    c = field.shape[-1]
+    kern_h = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, c))
+    kern_w = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, c))
+    out = jax.lax.conv_general_dilated(
+        field, kern_h, (1, 1), [(radius, radius), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kern_w, (1, 1), [(0, 0), (radius, radius)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+    return out
+
+
+# ------------------------------------------------------------------------------
+# affine helpers (3x3 homogeneous, acting on (x, y, 1))
+# ------------------------------------------------------------------------------
+
+
+def _identity(b: int) -> jax.Array:
+    return jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (b, 1, 1))
+
+
+def _rotation_about_center(theta: jax.Array, h: int, w: int) -> jax.Array:
+    """Forward keypoint matrix for rotation by theta about the image center."""
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    b = theta.shape[0]
+    zeros = jnp.zeros_like(cos)
+    ones = jnp.ones_like(cos)
+    # T(c) @ R @ T(-c)
+    m = jnp.stack(
+        [
+            jnp.stack([cos, -sin, cx - cos * cx + sin * cy], axis=-1),
+            jnp.stack([sin, cos, cy - sin * cx - cos * cy], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )
+    return m.reshape(b, 3, 3)
+
+
+def _rot90_matrix(k: jax.Array, h: int, w: int) -> jax.Array:
+    """Forward keypoint matrix for k*90° rotations (square images)."""
+    theta = -k.astype(jnp.float32) * (np.pi / 2.0)
+    # imgaug Rot90 rotates counter-clockwise in array space; for keypoint
+    # parity at this granularity the exact direction convention only flips
+    # which of the k values is sampled — behaviorally equivalent
+    return _rotation_about_center(theta, h, w)
+
+
+def _croppad_matrix(percents: jax.Array, h: int, w: int) -> jax.Array:
+    """Forward keypoint matrix for CropAndPad(percent per side) + Resize back
+    to (h, w). ``percents`` (B, 4) = (top, right, bottom, left); positive =
+    pad, negative = crop (imgaug convention)."""
+    top, right, bottom, left = (
+        percents[:, 0], percents[:, 1], percents[:, 2], percents[:, 3]
+    )
+    # region in input coords spans x in [-left*w, w + right*w)
+    x0 = -left * w
+    y0 = -top * h
+    new_w = w * (1.0 + left + right)
+    new_h = h * (1.0 + top + bottom)
+    sx = w / new_w
+    sy = h / new_h
+    b = percents.shape[0]
+    zeros = jnp.zeros_like(sx)
+    ones = jnp.ones_like(sx)
+    m = jnp.stack(
+        [
+            jnp.stack([sx, zeros, -x0 * sx], axis=-1),
+            jnp.stack([zeros, sy, -y0 * sy], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )
+    return m.reshape(b, 3, 3)
+
+
+def _hflip_matrix(flip: jax.Array, h: int, w: int) -> jax.Array:
+    sx = jnp.where(flip, -1.0, 1.0)
+    tx = jnp.where(flip, jnp.float32(w - 1), 0.0)
+    b = flip.shape[0]
+    zeros = jnp.zeros_like(sx)
+    ones = jnp.ones_like(sx)
+    m = jnp.stack(
+        [
+            jnp.stack([sx, zeros, tx], axis=-1),
+            jnp.stack([zeros, ones, zeros], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )
+    return m.reshape(b, 3, 3)
+
+
+# ------------------------------------------------------------------------------
+# photometric ops
+# ------------------------------------------------------------------------------
+
+
+def _coarse_mask(rng, b, h, w, drop_p, size_percent) -> jax.Array:
+    """Low-res boolean drop mask upsampled to (b, h, w, 1); True = keep."""
+    lh = jnp.maximum(1, int(h * size_percent)) if isinstance(size_percent, float) else None
+    lh = max(1, int(h * size_percent))
+    lw = max(1, int(w * size_percent))
+    low = jax.random.uniform(rng, (b, lh, lw, 1)) >= drop_p
+    return jax.image.resize(low.astype(jnp.float32), (b, h, w, 1), "nearest") > 0.5
+
+
+def _equalize_hist(images: jax.Array, clip_limit: jax.Array | None = None) -> jax.Array:
+    """Per-image per-channel histogram equalization on 0-255 floats.
+
+    With ``clip_limit`` (multiple of the mean bin count), histogram bins are
+    clipped and the excess redistributed — a global approximation of CLAHE.
+    """
+    b, h, w, c = images.shape
+    vals = jnp.clip(images, 0, 255).astype(jnp.int32)
+    onehot_counts = jax.vmap(
+        lambda im: jax.vmap(
+            lambda ch: jnp.bincount(ch.reshape(-1), length=256), in_axes=-1
+        )(im)
+    )(vals)  # (B, C, 256)
+    counts = onehot_counts.astype(jnp.float32)
+    if clip_limit is not None:
+        limit = clip_limit[:, None, None] * jnp.mean(counts, axis=-1, keepdims=True)
+        excess = jnp.sum(jnp.maximum(counts - limit, 0.0), axis=-1, keepdims=True)
+        counts = jnp.minimum(counts, limit) + excess / 256.0
+    cdf = jnp.cumsum(counts, axis=-1)
+    cdf_min = cdf[..., :1]
+    denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
+    lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0, 255)  # (B, C, 256)
+    flat = vals.transpose(0, 3, 1, 2).reshape(b, c, -1)
+    eq = jnp.take_along_axis(lut, flat, axis=-1)
+    return eq.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def _emboss(images: jax.Array, alpha: jax.Array, strength: jax.Array) -> jax.Array:
+    """imgaug-style emboss: overlay embossed image with per-image alpha."""
+    s = strength[:, None, None, None]
+    base = jnp.asarray(
+        [[-1.0, -1.0, 0.0], [-1.0, 1.0, 1.0], [0.0, 1.0, 1.0]], dtype=jnp.float32
+    )
+    scale = jnp.asarray(
+        [[1.0, 1.0, 0.0], [1.0, 0.0, 1.0], [0.0, 1.0, 1.0]], dtype=jnp.float32
+    )
+    c = images.shape[-1]
+    # kernel = [[-1-s, -s, 0], [-s, 1, s], [0, s, 1+s]] per image — since
+    # kernels vary per image, compute via the two fixed component convs
+    k_base = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]], dtype=jnp.float32
+    )
+    k_s = jnp.asarray(
+        [[-1.0, -1.0, 0.0], [-1.0, 0.0, 1.0], [0.0, 1.0, 1.0]], dtype=jnp.float32
+    )
+
+    def conv(img, kern):
+        kern = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))
+        return jax.lax.conv_general_dilated(
+            img, kern, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+
+    id_part = images  # conv with k_base == identity
+    s_part = conv(images, k_s)
+    embossed = id_part + s * s_part
+    a = alpha[:, None, None, None]
+    return jnp.clip((1 - a) * images + a * embossed, 0, 255)
+
+
+# ------------------------------------------------------------------------------
+# the engine
+# ------------------------------------------------------------------------------
+
+
+class AugmentationEngine:
+    """Batched, jittable augmentation matching an imgaug preset."""
+
+    def __init__(
+        self,
+        pipeline: str | dict | None,
+        image_height: int,
+        image_width: int,
+        hflip: bool = False,
+        hflip_swap_indices: np.ndarray | None = None,
+    ) -> None:
+        self.pipeline = pipeline if isinstance(pipeline, str) else (pipeline or "default")
+        if not isinstance(self.pipeline, str):
+            raise NotImplementedError(
+                "custom per-transform augmentation dicts are not supported yet; "
+                "use a preset string"
+            )
+        self.h = int(image_height)
+        self.w = int(image_width)
+        self.hflip = hflip
+        self.swap_indices = (
+            jnp.asarray(hflip_swap_indices)
+            if hflip_swap_indices is not None
+            else None
+        )
+        self.is_dlc = self.pipeline.startswith("dlc")
+        self.geometric = self.is_dlc and not self.pipeline.endswith("mv")
+        self._call = jax.jit(self._augment)
+
+    def __call__(self, rng: jax.Array, images: jax.Array, keypoints: jax.Array):
+        """images (B, H, W, 3) uint8/float 0-255; keypoints (B, K, 2).
+
+        Returns (augmented images 0-255 float32, transformed keypoints).
+        """
+        if self.pipeline in ("default", "none") and not self.hflip:
+            return images.astype(jnp.float32), keypoints
+        return self._call(rng, images, keypoints)
+
+    # everything below runs traced -------------------------------------------------
+
+    def _augment(self, rng, images, keypoints):
+        b = images.shape[0]
+        h, w = self.h, self.w
+        images = images.astype(jnp.float32)
+        keys = jax.random.split(rng, 24)
+
+        forward = _identity(b)  # keypoint matrix: new = F @ old
+
+        if self.is_dlc:
+            # Rot90 variants (reference augmentations.py:138-144)
+            if self.pipeline == "dlc-lr":
+                k_choices = jnp.asarray([0, 2])
+                k = k_choices[jax.random.randint(keys[0], (b,), 0, 2)]
+                forward = _rot90_matrix(k, h, w) @ forward
+            elif self.pipeline == "dlc-top-down":
+                k = jax.random.randint(keys[0], (b,), 0, 4)
+                forward = _rot90_matrix(k, h, w) @ forward
+
+        if self.geometric:
+            # Affine rotate +-25 deg, p=0.4 (reference augmentations.py:146-149)
+            apply_rot = jax.random.uniform(keys[1], (b,)) < 0.4
+            theta = jax.random.uniform(
+                keys[2], (b,), minval=-25.0, maxval=25.0
+            ) * (np.pi / 180.0)
+            theta = jnp.where(apply_rot, theta, 0.0)
+            forward = _rotation_about_center(theta, h, w) @ forward
+
+            # CropAndPad +-15% per side, p=0.4 (reference augmentations.py:216-221)
+            apply_cp = jax.random.uniform(keys[3], (b,)) < 0.4
+            percents = jax.random.uniform(keys[4], (b, 4), minval=-0.15, maxval=0.15)
+            percents = jnp.where(apply_cp[:, None], percents, 0.0)
+            forward = _croppad_matrix(percents, h, w) @ forward
+
+        if self.hflip:
+            flip = jax.random.uniform(keys[5], (b,)) < 0.5
+            forward = _hflip_matrix(flip, h, w) @ forward
+        else:
+            flip = jnp.zeros((b,), dtype=bool)
+
+        # inverse matrix drives image sampling: in = F^-1 @ out
+        inverse = jnp.linalg.inv(forward)
+
+        # base output grid
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+        grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
+        coords = jnp.einsum("bij,hwj->bhwi", inverse, grid)[..., :2]  # (B,H,W,2)
+
+        # elastic displacement (reference augmentations.py:191-198)
+        if self.geometric:
+            apply_el = jax.random.uniform(keys[6], (b,)) < 0.5
+            alpha = jax.random.uniform(keys[7], (b,), minval=0.0, maxval=10.0)
+            alpha = jnp.where(apply_el, alpha, 0.0)
+            raw = jax.random.uniform(keys[8], (b, h, w, 2), minval=-1.0, maxval=1.0)
+            disp = _separable_gaussian_blur(raw, sigma=5.0)
+            disp = disp * alpha[:, None, None, None]
+            coords = coords + disp
+        else:
+            disp = None
+
+        # motion blur taps (reference augmentations.py:151-157): 5 samples
+        # along the blur direction, averaged; direction zeroed when not applied
+        if self.is_dlc:
+            apply_mb = jax.random.uniform(keys[9], (b,)) < 0.5
+            mb_angle = jax.random.uniform(
+                keys[10], (b,), minval=-90.0, maxval=90.0
+            ) * (np.pi / 180.0)
+            dx = jnp.where(apply_mb, jnp.cos(mb_angle), 0.0)
+            dy = jnp.where(apply_mb, jnp.sin(mb_angle), 0.0)
+            taps = []
+            for t in (-2.0, -1.0, 0.0, 1.0, 2.0):
+                offset = jnp.stack([dx * t, dy * t], axis=-1)[:, None, None, :]
+                taps.append(grid_sample_bilinear(images, coords + offset))
+            warped = sum(taps) / 5.0
+        else:
+            warped = grid_sample_bilinear(images, coords)
+
+        # keypoints through the forward matrix
+        kp_h = jnp.concatenate(
+            [keypoints, jnp.ones_like(keypoints[..., :1])], axis=-1
+        )
+        kp_new = jnp.einsum("bij,bkj->bki", forward, kp_h)[..., :2]
+        if disp is not None:
+            # sample displacement at the transformed keypoint location
+            kxi = jnp.clip(kp_new[..., 0].astype(jnp.int32), 0, w - 1)
+            kyi = jnp.clip(kp_new[..., 1].astype(jnp.int32), 0, h - 1)
+            bidx = jnp.arange(b)[:, None]
+            kp_disp = disp[bidx, kyi, kxi]  # (B, K, 2)
+            kp_new = kp_new - kp_disp
+        if self.hflip and self.swap_indices is not None:
+            swapped = kp_new[:, self.swap_indices, :]
+            kp_new = jnp.where(flip[:, None, None], swapped, kp_new)
+        # keypoints warped out of the frame are lost (imgaug removes them);
+        # mark with NaN so heatmap targets become zero maps
+        nan_mask = (keypoints != keypoints).any(axis=-1, keepdims=True)
+        oob = (
+            (kp_new[..., 0:1] < -0.5) | (kp_new[..., 0:1] > w - 0.5)
+            | (kp_new[..., 1:2] < -0.5) | (kp_new[..., 1:2] > h - 0.5)
+        )
+        kp_new = jnp.where(nan_mask | oob, jnp.nan, kp_new)
+
+        if not self.is_dlc:
+            return warped, kp_new
+
+        # ---- photometric stack ----
+        out = warped
+        # CoarseDropout p=0.5: 2% of pixels at 30% scale, per_channel 0.5
+        apply_cd = jax.random.uniform(keys[11], (b,)) < 0.5
+        mask1 = _coarse_mask(keys[12], b, h, w, 0.02, 0.3)
+        per_ch = jax.random.uniform(keys[13], (b,)) < 0.5
+        mask_c = jnp.concatenate(
+            [_coarse_mask(keys[14 + i], b, h, w, 0.02, 0.3) for i in range(3)],
+            axis=-1,
+        )
+        drop_mask = jnp.where(per_ch[:, None, None, None], mask_c, mask1)
+        keep = jnp.where(apply_cd[:, None, None, None], drop_mask, True)
+        out = out * keep
+
+        # CoarseSalt / CoarsePepper p=0.5 each: 1% at 5-10% scale
+        sp_size = float(np.random.default_rng(0).uniform(0.05, 0.1))  # static size
+        apply_salt = jax.random.uniform(keys[17], (b,)) < 0.5
+        salt = ~_coarse_mask(keys[18], b, h, w, 0.01, 0.075)
+        out = jnp.where(apply_salt[:, None, None, None] & salt, 255.0, out)
+        apply_pep = jax.random.uniform(keys[19], (b,)) < 0.5
+        pep = ~_coarse_mask(keys[20], b, h, w, 0.01, 0.075)
+        out = jnp.where(apply_pep[:, None, None, None] & pep, 0.0, out)
+
+        # histogram equalization p=0.1
+        apply_he = jax.random.uniform(keys[21], (b,)) < 0.1
+        eq = _equalize_hist(out)
+        out = jnp.where(apply_he[:, None, None, None], eq, out)
+
+        # CLAHE-ish p=0.1: clip-limited global equalization
+        apply_cl = jax.random.uniform(keys[22], (b,)) < 0.1
+        clip = jax.random.uniform(keys[22], (b,), minval=1.0, maxval=8.0)
+        cl = _equalize_hist(out, clip_limit=clip)
+        out = jnp.where(apply_cl[:, None, None, None], cl, out)
+
+        # emboss p=0.1, alpha (0, 0.5), strength (0.5, 1.5)
+        apply_em = jax.random.uniform(keys[23], (b,)) < 0.1
+        em_alpha = jnp.where(
+            apply_em, jax.random.uniform(keys[23], (b,), minval=0.0, maxval=0.5), 0.0
+        )
+        em_strength = jax.random.uniform(keys[23], (b,), minval=0.5, maxval=1.5)
+        out = _emboss(out, em_alpha, em_strength)
+
+        return out, kp_new

@@ -1,0 +1,648 @@
+"""Training orchestration (reference lightning_pose/train.py:85-438).
+
+The PL Trainer + callback stack of the reference becomes: one jitted,
+donated train step over a 1-D data mesh (GSPMD data parallelism), with the
+LR schedules, backbone unfreezing, and unsupervised-weight annealing all
+closed-form functions of the global step (see ``schedules.py``). Target
+heatmap generation and augmentation run inside the step on device.
+
+Artifact contract matches the reference: ``config.yaml`` snapshot,
+``tb_logs/<model_name>/version_N/checkpoints/epoch=E-step=S-best.ckpt``,
+``predictions.csv`` (+ metric side CSVs), ``train_status.json`` with
+TRAINING/COMPLETED transitions (reference train.py:103-125).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from lightning_pose_tpu.data import bboxes as bboxes_mod
+from lightning_pose_tpu.data.factory import get_data_module, get_dataset
+from lightning_pose_tpu.data.heatmaps import generate_heatmaps
+from lightning_pose_tpu.losses.factory import get_loss_factories
+from lightning_pose_tpu.losses.losses import RegressionRMSELoss
+from lightning_pose_tpu.models.factory import get_model
+from lightning_pose_tpu.ops.augment import AugmentationEngine
+from lightning_pose_tpu.ops.preprocess import normalize_images
+from lightning_pose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from lightning_pose_tpu.train import checkpoints as ckpt_utils
+from lightning_pose_tpu.train.schedules import anneal_weight, backbone_lr, multistep_lr
+from lightning_pose_tpu.utils.io import return_absolute_data_paths
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["train", "calculate_steps_per_epoch", "TrainState", "TrainedModel"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def calculate_steps_per_epoch(data_module) -> int:
+    """ceil(n_train / batch_size), min 10 for semi-supervised modules
+    (reference train.py:63-82)."""
+    steps = math.ceil(len(data_module.train_dataset) / data_module.train_batch_size)
+    if hasattr(data_module, "unlabeled_loader"):
+        steps = max(10, steps)
+    return steps
+
+
+# ------------------------------------------------------------------------------
+# optimizer
+# ------------------------------------------------------------------------------
+
+
+def _resolve_schedule_cfg(cfg, steps_per_epoch: int) -> dict:
+    """Resolve epoch-based vs step-based training config
+    (reference train.py:325-340, model_config.py:290-320)."""
+    tcfg = cfg.training
+    step_mode = tcfg.get("max_steps") is not None
+    if step_mode:
+        max_steps = int(tcfg.max_steps)
+        max_epochs = math.ceil(max_steps / steps_per_epoch)
+        milestones_steps = list(
+            tcfg.lr_scheduler_params.multisteplr.get("milestone_steps", [])
+        )
+        unfreeze_step = tcfg.get("unfreezing_step", 0)
+        unfreeze_epoch = None
+    else:
+        max_epochs = int(tcfg.max_epochs)
+        max_steps = max_epochs * steps_per_epoch
+        milestones = list(tcfg.lr_scheduler_params.multisteplr.get("milestones", []))
+        milestones_steps = [m * steps_per_epoch for m in milestones]
+        unfreeze_epoch = tcfg.get("unfreezing_epoch", 20)
+        unfreeze_step = None
+    return dict(
+        max_steps=max_steps,
+        max_epochs=max_epochs,
+        milestones_steps=milestones_steps,
+        gamma=float(tcfg.lr_scheduler_params.multisteplr.get("gamma", 0.5)),
+        unfreeze_epoch=unfreeze_epoch,
+        unfreeze_step=unfreeze_step,
+    )
+
+
+def make_optimizer(cfg, steps_per_epoch: int, params) -> tuple[Any, Callable]:
+    """Adam/AdamW with per-group (backbone vs head) LR schedules.
+
+    Mirrors the reference's optimizer config (reference models/base.py
+    optimizer setup) + UnfreezeBackbone + MultiStepLR semantics.
+    """
+    sched_cfg = _resolve_schedule_cfg(cfg, steps_per_epoch)
+    base_lr = float(cfg.training.optimizer_params.get("learning_rate", 1e-3))
+    milestones_epochs = [m // steps_per_epoch for m in sched_cfg["milestones_steps"]]
+    head_sched = multistep_lr(
+        base_lr, milestones_epochs, sched_cfg["gamma"], steps_per_epoch
+    )
+    bb_sched = backbone_lr(
+        base_lr,
+        milestones_epochs,
+        sched_cfg["gamma"],
+        steps_per_epoch,
+        unfreezing_epoch=sched_cfg["unfreeze_epoch"],
+        unfreezing_step=sched_cfg["unfreeze_step"],
+    )
+
+    opt_name = str(cfg.training.get("optimizer", "Adam")).lower()
+
+    def make_opt(schedule):
+        if opt_name == "adamw":
+            return optax.adamw(schedule)
+        if opt_name == "adam":
+            return optax.adam(schedule)
+        raise NotImplementedError(f"optimizer {cfg.training.optimizer} not supported")
+
+    def label_fn(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "backbone" if k == "backbone" else "head", v
+            )
+            for k, v in params.items()
+        }
+
+    tx = optax.multi_transform(
+        {"backbone": make_opt(bb_sched), "head": make_opt(head_sched)},
+        label_fn(params),
+    )
+    return tx, head_sched
+
+
+# ------------------------------------------------------------------------------
+# step functions
+# ------------------------------------------------------------------------------
+
+
+def make_step_fns(
+    module,
+    meta: dict,
+    loss_factories: dict,
+    augmenter: AugmentationEngine,
+    cfg,
+    tx,
+    steps_per_epoch: int,
+):
+    """Build jitted train/eval/predict step functions for single-frame
+    heatmap and regression models."""
+    height = int(cfg.data.image_resize_dims.height)
+    width = int(cfg.data.image_resize_dims.width)
+    df = meta["downsample_factor"]
+    out_shape = (height // (2**df), width // (2**df))
+    is_heatmap = meta["model_type"].startswith("heatmap")
+    uniform_nan = bool(cfg.training.get("uniform_heatmaps_for_nan_keypoints", False))
+    anneal_cfg = cfg.callbacks.anneal_weight
+    rmse_loss = RegressionRMSELoss()
+    unsup = loss_factories.get("unsupervised")
+    has_unsup = unsup is not None and len(unsup.loss_instance_dict) > 0
+
+    def supervised_loss(
+        params, batch_stats, images, keypoints, visibility, bbox, train, stage
+    ):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            heatmaps, mutated = module.apply(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            heatmaps = module.apply(variables, images, train=False)
+            new_stats = batch_stats
+        if is_heatmap:
+            targets = generate_heatmaps(
+                keypoints,
+                height=height,
+                width=width,
+                output_shape=out_shape,
+                visibility=visibility,
+            )
+            loss, logs = loss_factories["supervised"](
+                stage=stage,
+                anneal_weight=None,
+                heatmaps_targ=targets,
+                heatmaps_pred=heatmaps,
+            )
+            preds, confidences = module.decode(heatmaps)
+        else:
+            preds = heatmaps  # regression output
+            confidences = jnp.ones(
+                (preds.shape[0], preds.shape[1] // 2), dtype=jnp.float32
+            )
+            kp_flat = keypoints.reshape(keypoints.shape[0], -1)
+            loss, logs = loss_factories["supervised"](
+                stage=stage,
+                anneal_weight=None,
+                keypoints_targ=kp_flat,
+                keypoints_pred=preds,
+            )
+            heatmaps = None
+        # model coords -> original frame coords via per-sample bbox
+        # (reference heatmap_tracker.py:140-142)
+        preds = bboxes_mod.model_to_frame_batch(preds, bbox, width, height)
+        kp_flat = keypoints.reshape(keypoints.shape[0], -1)
+        kp_frame = bboxes_mod.model_to_frame_batch(kp_flat, bbox, width, height)
+        # pixel-error logging (reference models/base.py:502)
+        rmse, _ = rmse_loss(
+            keypoints_targ=kp_frame, keypoints_pred=jax.lax.stop_gradient(preds)
+        )
+        logs = dict(logs)
+        logs[f"{stage}_supervised_loss"] = loss
+        logs[f"{stage}_supervised_rmse"] = rmse
+        return loss, new_stats, logs, heatmaps, preds, confidences
+
+    def _effective_visibility(kp, visibility):
+        """Augmentation-induced NaNs drop out; original NaNs follow the
+        uniform_heatmaps_for_nan_keypoints flag (reference HeatmapDataset)."""
+        nan = jnp.isnan(kp[..., 0])
+        if uniform_nan:
+            vis = jnp.where(nan & (visibility == 2), 1, visibility)
+        else:
+            vis = jnp.where(nan, 0, visibility)
+        return vis
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        epoch = state.step // steps_per_epoch
+        aug_rng = jax.random.fold_in(rng, state.step)
+        images, keypoints = augmenter(
+            aug_rng, batch["images"], batch["keypoints"]
+        )
+        visibility = _effective_visibility(keypoints, batch["visibility"])
+        images = normalize_images(images)
+
+        aw = anneal_weight(
+            epoch,
+            init_val=float(anneal_cfg.init_val),
+            increase_factor=float(anneal_cfg.increase_factor),
+            final_val=float(anneal_cfg.final_val),
+            freeze_until_epoch=int(anneal_cfg.freeze_until_epoch),
+        )
+
+        def loss_fn(params):
+            loss, new_stats, logs, heatmaps, preds, confs = supervised_loss(
+                params, state.batch_stats, images, keypoints, visibility,
+                batch["bbox"], train=True, stage="train",
+            )
+            total = loss
+            if has_unsup and "unlabeled" in batch:
+                ul = batch["unlabeled"]
+                ul_images = normalize_images(ul["frames"].astype(jnp.float32))
+                variables = {"params": params, "batch_stats": new_stats}
+                ul_heatmaps, mutated = module.apply(
+                    variables, ul_images, train=True, mutable=["batch_stats"]
+                )
+                new_stats = mutated["batch_stats"]
+                ul_preds, ul_confs = module.decode(ul_heatmaps)
+                # undo the on-device video augmentation so unsupervised
+                # losses act in original frame coords
+                # (reference data/utils.py:192-235)
+                if "transforms" in ul:
+                    from lightning_pose_tpu.data.video import (
+                        undo_affine_transform_batch,
+                    )
+
+                    ul_preds = undo_affine_transform_batch(
+                        ul_preds, ul["transforms"]
+                    )
+                loss_unsup, logs_unsup = unsup(
+                    stage="train",
+                    anneal_weight=aw,
+                    keypoints_pred=ul_preds,
+                    heatmaps_pred=ul_heatmaps,
+                    confidences=ul_confs,
+                )
+                total = total + loss_unsup
+                logs = {**logs, **logs_unsup,
+                        "train_unsupervised_loss": loss_unsup}
+            return total, (new_stats, logs)
+
+        (total, (new_stats, logs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        logs["total_loss"] = total
+        logs["total_unsupervised_importance"] = aw
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, logs
+
+    def eval_step(state: TrainState, batch: dict, stage: str):
+        images = normalize_images(batch["images"].astype(jnp.float32))
+        keypoints = batch["keypoints"]
+        visibility = _effective_visibility(keypoints, batch["visibility"])
+        loss, _, logs, _, preds, confs = supervised_loss(
+            state.params, state.batch_stats, images, keypoints, visibility,
+            batch["bbox"], train=False, stage=stage,
+        )
+        return logs, preds, confs
+
+    def predict_step(state: TrainState, images_uint8: jax.Array, bbox: jax.Array):
+        images = normalize_images(images_uint8.astype(jnp.float32))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if is_heatmap:
+            heatmaps = module.apply(variables, images, train=False)
+            preds, confs = module.decode(heatmaps)
+        else:
+            preds = module.apply(variables, images, train=False)
+            confs = jnp.ones((preds.shape[0], preds.shape[1] // 2))
+        preds = bboxes_mod.model_to_frame_batch(preds, bbox, width, height)
+        return preds, confs
+
+    return (
+        jax.jit(train_step, donate_argnums=0),
+        jax.jit(eval_step, static_argnames="stage"),
+        jax.jit(predict_step),
+    )
+
+
+# ------------------------------------------------------------------------------
+# orchestration
+# ------------------------------------------------------------------------------
+
+
+class TrainedModel:
+    """Lightweight handle on a trained model (precursor of api.Model)."""
+
+    def __init__(self, cfg, model_dir: str, module, meta, state, predict_fn, data_module):
+        self.cfg = cfg
+        self.model_dir = Path(model_dir)
+        self.module = module
+        self.meta = meta
+        self.state = state
+        self.predict_fn = predict_fn
+        self.data_module = data_module
+
+
+def _write_status(path: Path, status: str, **extra) -> None:
+    contents = {"status": status, **extra}
+    tmp = str(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(contents, f)
+    os.replace(tmp, str(path))
+
+
+def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = False):
+    """Train a model from a config; writes the full artifact contract
+    (reference train.py:85-127)."""
+    model_dir = Path(model_dir or os.getcwd())
+    model_dir.mkdir(parents=True, exist_ok=True)
+    status_file = model_dir / "train_status.json"
+
+    t_start = time.time()
+
+    # ---- seeding (reference train.py:284-291)
+    seed = int(cfg.training.get("rng_seed_model_pt", 0))
+    np.random.seed(seed)
+
+    # ---- validation
+    from lightning_pose_tpu.api.model_config import ModelConfig
+
+    ModelConfig(cfg).validate()
+
+    # ---- data
+    data_dir, video_dir = return_absolute_data_paths(cfg.data)
+    dataset = get_dataset(cfg, data_dir)
+    if cfg.data.get("keypoint_names", None) is None:
+        cfg.data.keypoint_names = list(dataset.keypoint_names)
+    if cfg.data.get("num_keypoints", None) is None:
+        cfg.data.num_keypoints = dataset.num_keypoints
+    data_module = get_data_module(cfg, dataset, video_dir)
+    steps_per_epoch = calculate_steps_per_epoch(data_module)
+
+    # ---- losses (PCA fits happen here, on host)
+    loss_factories = get_loss_factories(cfg, data_module)
+
+    # ---- model
+    module, meta = get_model(cfg, num_keypoints=dataset.num_keypoints)
+    height = int(cfg.data.image_resize_dims.height)
+    width = int(cfg.data.image_resize_dims.width)
+    rng = jax.random.PRNGKey(seed)
+    if meta["model_type"] == "heatmap_mhcrnn":
+        dummy = jnp.zeros((1, 5, height, width, 3), dtype=jnp.float32)
+    else:
+        dummy = jnp.zeros((1, height, width, 3), dtype=jnp.float32)
+    variables = module.init(rng, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    # optional warm-start (reference models/factory.py:211-229)
+    if cfg.model.get("checkpoint"):
+        ckpt = ckpt_utils.load_checkpoint(cfg.model.checkpoint)
+        import flax.serialization
+
+        params = flax.serialization.from_state_dict(params, ckpt["params"])
+        batch_stats = flax.serialization.from_state_dict(
+            batch_stats, ckpt["batch_stats"]
+        )
+        logger.info(f"warm-started from {cfg.model.checkpoint}")
+
+    # ---- optimizer
+    tx, head_sched = make_optimizer(cfg, steps_per_epoch, params)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.asarray(0, dtype=jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+
+    # ---- mesh: 1-D data parallel over the requested number of chips
+    num_devices = min(int(cfg.training.get("num_gpus", 1) or 1), jax.device_count())
+    num_devices = max(1, num_devices)
+    mesh = make_mesh(num_devices)
+    state = replicate(mesh, state)
+
+    # ---- augmentation engine
+    augmenter = AugmentationEngine(
+        pipeline=dataset.imgaug_pipeline,
+        image_height=height,
+        image_width=width,
+        hflip=bool(cfg.training.get("imgaug_hflip", False)),
+        hflip_swap_indices=dataset.hflip_swap_indices,
+    )
+
+    train_step, eval_step, predict_step = make_step_fns(
+        module, meta, loss_factories, augmenter, cfg, tx, steps_per_epoch
+    )
+
+    # ---- logging + dirs (reference train.py:349-383)
+    cfg.save(str(model_dir / "config.yaml"))
+    csv_src = Path(cfg.data.csv_file)
+    if not csv_src.is_absolute():
+        csv_src = Path(data_dir) / csv_src
+    if csv_src.exists():
+        shutil.copy(csv_src, model_dir / csv_src.name)
+
+    version_dir = ckpt_utils.next_version_dir(str(model_dir), cfg.model.model_name)
+    os.makedirs(version_dir, exist_ok=True)
+    ckpt_dir = ckpt_utils.checkpoint_dir(version_dir)
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(version_dir)
+        writer.add_text("config", "```\n" + cfg.to_yaml() + "\n```")
+    except Exception:  # tensorboardX optional
+        writer = None
+
+    sched_cfg = _resolve_schedule_cfg(cfg, steps_per_epoch)
+    max_epochs = sched_cfg["max_epochs"]
+    min_epochs = int(cfg.training.get("min_epochs") or 0)
+    check_val_every = int(cfg.training.get("check_val_every_n_epoch", 5) or 5)
+    log_every = int(cfg.training.get("log_every_n_steps", 10) or 10)
+    ckpt_every = cfg.training.get("ckpt_every_n_epochs", None)
+    early_stopping = bool(cfg.training.get("early_stopping", False))
+    patience = int(cfg.training.get("early_stop_patience", 3) or 3)
+
+    _write_status(status_file, "TRAINING")
+    data_rng = jax.random.PRNGKey(int(cfg.training.get("rng_seed_data_pt", 0)))
+
+    best_val = float("inf")
+    best_ckpt_path = None
+    bad_val_checks = 0
+    global_step = 0
+
+    logger.info(
+        f"training {cfg.model.model_type}/{cfg.model.backbone} for {max_epochs} "
+        f"epochs x {steps_per_epoch} steps on {num_devices} device(s)"
+    )
+
+    for epoch in range(max_epochs):
+        for batch in data_module.train_batches(epoch, steps=steps_per_epoch):
+            device_batch = shard_batch(mesh, batch)
+            state, logs = train_step(state, device_batch, data_rng)
+            global_step += 1
+            if writer is not None and global_step % log_every == 0:
+                for k, v in logs.items():
+                    writer.add_scalar(k, float(v), global_step)
+                writer.add_scalar("lr-head", float(head_sched(global_step)), global_step)
+                writer.add_scalar("epoch", epoch, global_step)
+
+        run_val = ((epoch + 1) % check_val_every == 0) or (epoch == max_epochs - 1)
+        if run_val and len(data_module.val_dataset) > 0:
+            val_logs_sum: dict[str, float] = {}
+            n_val = 0
+            for batch in data_module.val_batches():
+                device_batch = shard_batch(mesh, batch)
+                logs, _, _ = eval_step(state, device_batch, stage="val")
+                for k, v in logs.items():
+                    val_logs_sum[k] = val_logs_sum.get(k, 0.0) + float(v)
+                n_val += 1
+            val_logs = {k: v / max(n_val, 1) for k, v in val_logs_sum.items()}
+            if writer is not None:
+                for k, v in val_logs.items():
+                    writer.add_scalar(k, v, global_step)
+            val_loss = val_logs.get("val_supervised_loss", float("inf"))
+
+            # best-checkpoint tracking (reference callbacks.py:675-689)
+            if val_loss < best_val:
+                best_val = val_loss
+                bad_val_checks = 0
+                if best_ckpt_path and os.path.exists(best_ckpt_path):
+                    os.remove(best_ckpt_path)
+                best_ckpt_path = os.path.join(
+                    ckpt_dir, f"epoch={epoch}-step={global_step}-best.ckpt"
+                )
+                ckpt_utils.save_checkpoint(
+                    best_ckpt_path, state.params, state.batch_stats,
+                    global_step, epoch,
+                )
+            else:
+                bad_val_checks += 1
+
+            if ckpt_every:
+                if (epoch + 1) % int(ckpt_every) == 0:
+                    path = os.path.join(
+                        ckpt_dir, f"epoch={epoch}-step={global_step}.ckpt"
+                    )
+                    ckpt_utils.save_checkpoint(
+                        path, state.params, state.batch_stats, global_step, epoch
+                    )
+
+            if (
+                early_stopping
+                and bad_val_checks >= patience
+                and epoch + 1 >= min_epochs
+            ):
+                logger.info(f"early stopping at epoch {epoch}")
+                break
+
+    # always leave at least one checkpoint
+    if best_ckpt_path is None:
+        best_ckpt_path = os.path.join(
+            ckpt_dir, f"epoch={max_epochs - 1}-step={global_step}-best.ckpt"
+        )
+        ckpt_utils.save_checkpoint(
+            best_ckpt_path, state.params, state.batch_stats, global_step,
+            max_epochs - 1,
+        )
+
+    if writer is not None:
+        writer.close()
+
+    logger.info(f"training finished in {time.time() - t_start:.1f}s")
+    _write_status(status_file, "EVALUATING")
+
+    model = TrainedModel(
+        cfg=cfg,
+        model_dir=model_dir,
+        module=module,
+        meta=meta,
+        state=state,
+        predict_fn=predict_step,
+        data_module=data_module,
+    )
+
+    if not skip_evaluation:
+        _evaluate_on_training_dataset(model)
+        _predict_test_videos(model)
+
+    _write_status(status_file, "COMPLETED")
+    return model
+
+
+def _evaluate_on_training_dataset(model: TrainedModel) -> None:
+    """Predict all labeled frames, write predictions.csv + metric CSVs
+    (reference train.py:146-246)."""
+    from lightning_pose_tpu.metrics import compute_metrics_single
+    from lightning_pose_tpu.utils.predictions import PredictionHandler
+
+    cfg = model.cfg
+    data_module = model.data_module
+    preds = []
+    for batch in data_module.full_batches():
+        kp, conf = model.predict_fn(model.state, batch["images"], batch["bbox"])
+        valid = batch["valid"]
+        preds.append((np.asarray(kp)[valid], np.asarray(conf)[valid]))
+    handler = PredictionHandler(cfg=cfg, data_module=data_module)
+    df = handler(preds)
+
+    csv_name = Path(cfg.data.csv_file).name
+    preds_dir = model.model_dir / "image_preds" / csv_name
+    preds_dir.mkdir(parents=True, exist_ok=True)
+    preds_file = preds_dir / "predictions.csv"
+    df.to_csv(preds_file)
+
+    labels_file = Path(cfg.data.csv_file)
+    if not labels_file.is_absolute():
+        labels_file = Path(cfg.data.data_dir) / labels_file
+    try:
+        compute_metrics_single(
+            cfg=cfg,
+            labels_file=str(labels_file),
+            preds_file=str(preds_file),
+            data_module=data_module,
+        )
+    except Exception as e:
+        logger.warning(f"metrics computation failed: {e}")
+
+    # legacy copies in the model dir (reference train.py:226-245)
+    for p_file in preds_dir.glob("predictions*.csv"):
+        shutil.copy(p_file, model.model_dir / p_file.name)
+
+
+def _predict_test_videos(model: TrainedModel) -> None:
+    """Predict videos in cfg.eval.test_videos_directory
+    (reference train.py:248-271)."""
+    cfg = model.cfg
+    if not cfg.eval.get("predict_vids_after_training", False):
+        return
+    video_dir = cfg.eval.get("test_videos_directory")
+    if not video_dir or not os.path.isdir(str(video_dir)):
+        return
+    try:
+        from lightning_pose_tpu.utils.video_predictions import predict_video
+        from lightning_pose_tpu.utils.io import get_videos_in_dir
+
+        for video_file in get_videos_in_dir(str(video_dir)):
+            logger.info(f"predicting video: {video_file}")
+            predict_video(
+                video_file=video_file,
+                cfg=cfg,
+                predict_fn=model.predict_fn,
+                state=model.state,
+                model_dir=str(model.model_dir),
+                data_module=model.data_module,
+                generate_labeled_video=bool(
+                    cfg.eval.get("save_vids_after_training", False)
+                ),
+            )
+    except Exception as e:
+        logger.warning(f"video prediction failed: {e}")

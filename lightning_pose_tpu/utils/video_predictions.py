@@ -1,0 +1,176 @@
+"""Video inference: decode -> batched jitted forward -> DLC CSV
+(reference lightning_pose/utils/predictions.py:412-533 ``predict_video``).
+
+This is the benchmark path: host decode threads overlap with the TPU
+forward pass; the decode produces fixed-shape uint8 batches so one compiled
+program serves the whole video.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from lightning_pose_tpu.data.video import PredictVideoLoader
+from lightning_pose_tpu.utils.predictions import PredictionHandler
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["predict_video", "generate_labeled_video"]
+
+
+def predict_video(
+    video_file: str,
+    cfg,
+    predict_fn,
+    state,
+    model_dir: str,
+    data_module=None,
+    preds_file: str | None = None,
+    generate_labeled_video: bool = False,
+    compute_metrics: bool = True,
+) -> "np.ndarray":
+    """Run inference on one video; write ``video_preds/<stem>.csv`` (+
+    optional labeled mp4 + metric side CSVs)."""
+    do_context = cfg.model.model_type == "heatmap_mhcrnn"
+    seq_key = "context" if do_context else "base"
+    seq_len = int(cfg.dali[seq_key]["predict"]["sequence_length"])
+    height = int(cfg.data.image_resize_dims.height)
+    width = int(cfg.data.image_resize_dims.width)
+
+    loader = PredictVideoLoader(
+        video_file=video_file,
+        sequence_length=seq_len,
+        resize_height=height,
+        resize_width=width,
+        do_context=do_context,
+    )
+
+    # predictions are remapped to original video resolution via a full-frame
+    # bbox, matching the reference's DALI batch bbox (reference dali.py
+    # _dali_output_to_tensors)
+    import cv2
+
+    cap = cv2.VideoCapture(str(video_file))
+    orig_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    orig_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    cap.release()
+    bbox = np.tile(
+        np.array([0.0, 0.0, orig_h, orig_w], dtype=np.float32), (seq_len, 1)
+    )
+
+    t0 = time.time()
+    preds = []
+    for batch in loader:
+        kp, conf = predict_fn(state, batch, bbox)
+        preds.append((np.asarray(kp), np.asarray(conf)))
+    elapsed = time.time() - t0
+    fps = loader.frame_count / max(elapsed, 1e-9)
+    logger.info(
+        f"predicted {loader.frame_count} frames of {Path(video_file).name} in "
+        f"{elapsed:.2f}s ({fps:.1f} frames/s)"
+    )
+
+    handler = PredictionHandler(cfg=cfg, data_module=data_module, video_file=video_file)
+    df = handler(preds)
+
+    if preds_file is None:
+        preds_dir = Path(model_dir) / "video_preds"
+        preds_dir.mkdir(parents=True, exist_ok=True)
+        preds_file = str(preds_dir / (Path(video_file).stem + ".csv"))
+    os.makedirs(os.path.dirname(preds_file), exist_ok=True)
+    df.to_csv(preds_file)
+
+    if compute_metrics:
+        try:
+            from lightning_pose_tpu.metrics import compute_metrics_single
+
+            compute_metrics_single(
+                cfg=cfg, labels_file=None, preds_file=preds_file,
+                data_module=data_module,
+            )
+        except Exception as e:
+            logger.warning(f"video metrics computation failed: {e}")
+
+    if generate_labeled_video:
+        labeled_dir = Path(preds_file).parent / "labeled_videos"
+        labeled_dir.mkdir(parents=True, exist_ok=True)
+        output_mp4 = str(labeled_dir / (Path(video_file).stem + "_labeled.mp4"))
+        try:
+            _create_labeled_video(
+                video_file=video_file,
+                preds_df_file=preds_file,
+                output_mp4=output_mp4,
+                confidence_thresh=float(
+                    cfg.eval.get("confidence_thresh_for_vid", 0.9)
+                ),
+                colormap=str(cfg.eval.get("colormap", "cool")),
+            )
+        except Exception as e:
+            logger.warning(f"labeled video generation failed: {e}")
+
+    return df
+
+
+def _make_cmap(n: int, cmap: str) -> np.ndarray:
+    """n evenly spaced RGB colors from a matplotlib colormap
+    (reference predictions.py:560-574)."""
+    import matplotlib.pyplot as plt
+
+    color_class = plt.cm.ScalarMappable(cmap=cmap)
+    C = color_class.to_rgba(np.linspace(0, 1, n))
+    return (C[:, :3] * 255).astype(np.uint8)
+
+
+def _create_labeled_video(
+    video_file: str,
+    preds_df_file: str,
+    output_mp4: str,
+    confidence_thresh: float = 0.9,
+    colormap: str = "cool",
+    dotsize: int = 4,
+    resize_dims: tuple[int, int] | None = None,
+) -> None:
+    """Overlay predicted keypoints on the video (cv2-based; the reference
+    uses moviepy + cv2, reference predictions.py:576-713)."""
+    import cv2
+    import pandas as pd
+
+    df = pd.read_csv(preds_df_file, header=[0, 1, 2], index_col=0)
+    xyl_mask = df.columns.get_level_values("coords").isin(["x", "y", "likelihood"])
+    arr = df.loc[:, xyl_mask].to_numpy().reshape(df.shape[0], -1, 3)
+    n_keypoints = arr.shape[1]
+    colors = _make_cmap(n_keypoints, colormap)
+
+    cap = cv2.VideoCapture(str(video_file))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    orig_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    orig_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    writer = cv2.VideoWriter(
+        output_mp4, cv2.VideoWriter_fourcc(*"mp4v"), fps, (orig_w, orig_h)
+    )
+    # predictions are in model-resize coords; scale back to original res
+    if resize_dims is not None:
+        sx = orig_w / resize_dims[0]
+        sy = orig_h / resize_dims[1]
+    else:
+        sx = sy = 1.0
+    frame_idx = 0
+    while frame_idx < arr.shape[0]:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        for k in range(n_keypoints):
+            x, y, likelihood = arr[frame_idx, k]
+            if np.isnan(x) or likelihood < confidence_thresh:
+                continue
+            color = tuple(int(c) for c in colors[k][::-1])  # BGR
+            cv2.circle(frame, (int(x * sx), int(y * sy)), dotsize, color, -1)
+        writer.write(frame)
+        frame_idx += 1
+    cap.release()
+    writer.release()
