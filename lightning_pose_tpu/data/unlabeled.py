@@ -1,0 +1,56 @@
+"""Unlabeled data module: combined labeled + video-frame batches.
+
+The reference pairs labeled and unlabeled loaders with Lightning's
+``CombinedLoader(mode="max_size_cycle")`` (reference
+lightning_pose/data/datamodules.py:240-341): each training step consumes
+one labeled batch and one unlabeled video window. Here the labeled
+iterator drives the epoch and each yielded batch carries an ``unlabeled``
+sub-dict of raw uint8 frames; geometric/photometric video augmentation and
+normalization run fused on device inside the train step.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from lightning_pose_tpu.data.datamodules import BaseDataModule
+from lightning_pose_tpu.data.video import UnlabeledVideoLoader
+from lightning_pose_tpu.utils.io import check_video_paths
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["UnlabeledDataModule"]
+
+
+class UnlabeledDataModule(BaseDataModule):
+    """BaseDataModule + a background unlabeled video stream."""
+
+    def __init__(
+        self,
+        cfg=None,
+        video_dir: str | None = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(**kwargs)
+        assert cfg is not None and video_dir is not None
+        self.cfg = cfg
+        self.video_dir = video_dir
+        video_files = check_video_paths(video_dir)
+        seq_len = int(cfg.dali.base.train.sequence_length)
+        self.unlabeled_loader = UnlabeledVideoLoader(
+            video_files=list(video_files),
+            sequence_length=seq_len,
+            resize_height=int(cfg.data.image_resize_dims.height),
+            resize_width=int(cfg.data.image_resize_dims.width),
+            seed=int(cfg.training.get("rng_seed_data_pt", 0)) + 123456,
+        )
+        logger.info(
+            f"unlabeled stream: {len(video_files)} video(s), sequence_length={seq_len}"
+        )
+
+    def train_batches(self, epoch: int, steps: int | None = None):
+        """Yield labeled batches augmented with an 'unlabeled' frames dict
+        (max_size_cycle pairing, reference datamodules.py:320-341)."""
+        for batch in super().train_batches(epoch, steps=steps):
+            batch["unlabeled"] = next(self.unlabeled_loader)
+            yield batch

@@ -230,12 +230,23 @@ class UnlabeledVideoLoader:
                 continue
             while len(frames) < self.seq_len:
                 frames.append(frames[-1])
+            # full-frame bbox in original video resolution (reference DALI
+            # batches carry orig_size for the model->frame remap)
+            bbox = np.tile(
+                np.array(
+                    [0.0, 0.0, decoder.orig_height, decoder.orig_width],
+                    dtype=np.float32,
+                ),
+                (self.seq_len, 1),
+            )
             try:
-                self._queue.put(np.stack(frames), timeout=5.0)
+                self._queue.put(
+                    {"frames": np.stack(frames), "bbox": bbox}, timeout=5.0
+                )
             except queue.Full:
                 continue
 
-    def __next__(self) -> np.ndarray:
+    def __next__(self) -> dict:
         return self._queue.get()
 
     def close(self) -> None:

@@ -258,24 +258,36 @@ def make_step_fns(
             )
             total = loss
             if has_unsup and "unlabeled" in batch:
+                from lightning_pose_tpu.data.video import (
+                    undo_affine_transform_batch,
+                )
+                from lightning_pose_tpu.ops.video_augment import (
+                    augment_video_sequence,
+                )
+
                 ul = batch["unlabeled"]
-                ul_images = normalize_images(ul["frames"].astype(jnp.float32))
+                # DALI-equivalent train augmentation on device
+                # (reference dali.py:156-182), only for dlc-style presets
+                ul_frames, ul_transforms = augment_video_sequence(
+                    jax.random.fold_in(aug_rng, 1),
+                    ul["frames"],
+                    apply_geometric=augmenter.is_dlc,
+                )
+                ul_images = normalize_images(ul_frames)
                 variables = {"params": params, "batch_stats": new_stats}
                 ul_heatmaps, mutated = module.apply(
                     variables, ul_images, train=True, mutable=["batch_stats"]
                 )
                 new_stats = mutated["batch_stats"]
                 ul_preds, ul_confs = module.decode(ul_heatmaps)
-                # undo the on-device video augmentation so unsupervised
-                # losses act in original frame coords
-                # (reference data/utils.py:192-235)
-                if "transforms" in ul:
-                    from lightning_pose_tpu.data.video import (
-                        undo_affine_transform_batch,
-                    )
-
-                    ul_preds = undo_affine_transform_batch(
-                        ul_preds, ul["transforms"]
+                # undo the augmentation so unsupervised losses act in
+                # original frame coords (reference data/utils.py:192-235),
+                # then remap model -> frame resolution like the reference's
+                # model_to_frame_batch on unlabeled batches
+                ul_preds = undo_affine_transform_batch(ul_preds, ul_transforms)
+                if "bbox" in ul:
+                    ul_preds = bboxes_mod.model_to_frame_batch(
+                        ul_preds, ul["bbox"], width, height
                     )
                 loss_unsup, logs_unsup = unsup(
                     stage="train",
