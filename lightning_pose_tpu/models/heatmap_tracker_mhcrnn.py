@@ -1,0 +1,90 @@
+"""Temporal-context tracker (MHCRNN)
+(reference lightning_pose/models/heatmap_tracker_mhcrnn.py:30-332).
+
+Labeled forward consumes 5-frame context stacks; unlabeled video sequences
+are tiled into sliding 5-frame windows with edge padding (reference
+models/base.py:151-188) by :func:`make_context_windows`. Training doubles
+the batch by concatenating single-frame and multi-frame head outputs
+(reference heatmap_tracker_mhcrnn.py:154-174); prediction merges the two
+heads per keypoint by confidence (reference :210-216).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lightning_pose_tpu.models.backbones.factory import build_backbone
+from lightning_pose_tpu.models.heads.heatmap_mhcrnn import HeatmapMHCRNNHead
+from lightning_pose_tpu.ops.softargmax import run_subpixelmaxima
+
+__all__ = ["HeatmapTrackerMHCRNN", "make_context_windows", "merge_heads_by_confidence"]
+
+
+def make_context_windows(frames: jax.Array) -> jax.Array:
+    """Tile a ``(T, H, W, C)`` sequence into ``(T-4, 5, H, W, C)`` sliding
+    windows (reference base.py:151-188 sequence tiling; edge frames are
+    dropped, matching the shift-by-2 fix downstream)."""
+    t = frames.shape[0]
+    windows = [frames[i:i + 5] for i in range(t - 4)]
+    return jnp.stack(windows, axis=0)
+
+
+def merge_heads_by_confidence(
+    kp_sf: jax.Array, conf_sf: jax.Array, kp_mf: jax.Array, conf_mf: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-keypoint pick of the higher-confidence head
+    (reference heatmap_tracker_mhcrnn.py:210-216)."""
+    take_mf = conf_mf >= conf_sf  # (B, K)
+    kp_sf2 = kp_sf.reshape(kp_sf.shape[0], -1, 2)
+    kp_mf2 = kp_mf.reshape(kp_mf.shape[0], -1, 2)
+    kp = jnp.where(take_mf[..., None], kp_mf2, kp_sf2)
+    conf = jnp.maximum(conf_sf, conf_mf)
+    return kp.reshape(kp_sf.shape), conf
+
+
+class HeatmapTrackerMHCRNN(nn.Module):
+    """images (B, 5, H, W, 3) -> (heatmaps_sf, heatmaps_mf)."""
+
+    backbone_arch: str = "resnet50"
+    num_keypoints: int = 17
+    downsample_factor: int = 2  # df=2 only (reference :64)
+    deconv_out_channels: int | None = None
+    image_size: int = 256
+    dtype: Any = jnp.bfloat16
+
+    def setup(self) -> None:
+        if self.downsample_factor != 2:
+            raise ValueError("heatmap_mhcrnn only supports downsample_factor=2")
+        backbone, num_features, _ = build_backbone(
+            self.backbone_arch,
+            model_type="heatmap",
+            image_size=self.image_size,
+            dtype=self.dtype,
+        )
+        self.backbone = backbone
+        self.head = HeatmapMHCRNNHead(
+            backbone_arch=self.backbone_arch,
+            in_channels=num_features,
+            out_channels=self.num_keypoints,
+            deconv_out_channels=self.deconv_out_channels,
+            downsample_factor=self.downsample_factor,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self, images: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
+        b, t, h, w, c = images.shape
+        flat = images.reshape(b * t, h, w, c)
+        features = self.backbone(flat, train=train)
+        features = features.reshape(b, t, *features.shape[1:])
+        return self.head(features)
+
+    def decode(self, heatmaps: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return run_subpixelmaxima(
+            heatmaps, downsample_factor=self.downsample_factor, temperature=1000.0
+        )

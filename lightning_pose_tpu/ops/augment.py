@@ -289,7 +289,12 @@ class AugmentationEngine:
         self._call = jax.jit(self._augment)
 
     def __call__(self, rng: jax.Array, images: jax.Array, keypoints: jax.Array):
-        """images (B, H, W, 3) uint8/float 0-255; keypoints (B, K, 2).
+        """images (B, H, W, 3) or (B, T, H, W, 3) uint8/float 0-255;
+        keypoints (B, K, 2).
+
+        Context stacks (5D input) receive ONE transform per sample applied
+        to all T frames (the reference seeds imgaug identically per frame,
+        reference datasets.py:292-300).
 
         Returns (augmented images 0-255 float32, transformed keypoints).
         """
@@ -300,7 +305,17 @@ class AugmentationEngine:
     # everything below runs traced -------------------------------------------------
 
     def _augment(self, rng, images, keypoints):
-        b = images.shape[0]
+        if images.ndim == 5:
+            bsz, t = images.shape[0], images.shape[1]
+            images = images.reshape(bsz * t, *images.shape[2:])
+        else:
+            bsz, t = images.shape[0], 1
+        b = bsz  # number of transform groups
+
+        def R(p):
+            """Repeat a per-group quantity across a group's frames."""
+            return jnp.repeat(p, t, axis=0) if t > 1 else p
+
         h, w = self.h, self.w
         images = images.astype(jnp.float32)
         keys = jax.random.split(rng, 24)
@@ -348,7 +363,7 @@ class AugmentationEngine:
             indexing="ij",
         )
         grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
-        coords = jnp.einsum("bij,hwj->bhwi", inverse, grid)[..., :2]  # (B,H,W,2)
+        coords = jnp.einsum("bij,hwj->bhwi", R(inverse), grid)[..., :2]  # (B*T,H,W,2)
 
         # elastic displacement (reference augmentations.py:191-198)
         if self.geometric:
@@ -358,7 +373,7 @@ class AugmentationEngine:
             raw = jax.random.uniform(keys[8], (b, h, w, 2), minval=-1.0, maxval=1.0)
             disp = _separable_gaussian_blur(raw, sigma=5.0)
             disp = disp * alpha[:, None, None, None]
-            coords = coords + disp
+            coords = coords + R(disp)
         else:
             disp = None
 
@@ -369,11 +384,11 @@ class AugmentationEngine:
             mb_angle = jax.random.uniform(
                 keys[10], (b,), minval=-90.0, maxval=90.0
             ) * (np.pi / 180.0)
-            dx = jnp.where(apply_mb, jnp.cos(mb_angle), 0.0)
-            dy = jnp.where(apply_mb, jnp.sin(mb_angle), 0.0)
+            dx = R(jnp.where(apply_mb, jnp.cos(mb_angle), 0.0))
+            dy = R(jnp.where(apply_mb, jnp.sin(mb_angle), 0.0))
             taps = []
-            for t in (-2.0, -1.0, 0.0, 1.0, 2.0):
-                offset = jnp.stack([dx * t, dy * t], axis=-1)[:, None, None, :]
+            for tap in (-2.0, -1.0, 0.0, 1.0, 2.0):
+                offset = jnp.stack([dx * tap, dy * tap], axis=-1)[:, None, None, :]
                 taps.append(grid_sample_bilinear(images, coords + offset))
             warped = sum(taps) / 5.0
         else:
@@ -404,48 +419,57 @@ class AugmentationEngine:
         kp_new = jnp.where(nan_mask | oob, jnp.nan, kp_new)
 
         if not self.is_dlc:
+            if t > 1:
+                warped = warped.reshape(bsz, t, h, w, -1)
             return warped, kp_new
 
         # ---- photometric stack ----
         out = warped
         # CoarseDropout p=0.5: 2% of pixels at 30% scale, per_channel 0.5
-        apply_cd = jax.random.uniform(keys[11], (b,)) < 0.5
-        mask1 = _coarse_mask(keys[12], b, h, w, 0.02, 0.3)
-        per_ch = jax.random.uniform(keys[13], (b,)) < 0.5
-        mask_c = jnp.concatenate(
-            [_coarse_mask(keys[14 + i], b, h, w, 0.02, 0.3) for i in range(3)],
-            axis=-1,
+        apply_cd = R(jax.random.uniform(keys[11], (b,)) < 0.5)
+        mask1 = R(_coarse_mask(keys[12], b, h, w, 0.02, 0.3))
+        per_ch = R(jax.random.uniform(keys[13], (b,)) < 0.5)
+        mask_c = R(
+            jnp.concatenate(
+                [_coarse_mask(keys[14 + i], b, h, w, 0.02, 0.3) for i in range(3)],
+                axis=-1,
+            )
         )
         drop_mask = jnp.where(per_ch[:, None, None, None], mask_c, mask1)
         keep = jnp.where(apply_cd[:, None, None, None], drop_mask, True)
         out = out * keep
 
         # CoarseSalt / CoarsePepper p=0.5 each: 1% at 5-10% scale
-        sp_size = float(np.random.default_rng(0).uniform(0.05, 0.1))  # static size
-        apply_salt = jax.random.uniform(keys[17], (b,)) < 0.5
-        salt = ~_coarse_mask(keys[18], b, h, w, 0.01, 0.075)
+        apply_salt = R(jax.random.uniform(keys[17], (b,)) < 0.5)
+        salt = R(~_coarse_mask(keys[18], b, h, w, 0.01, 0.075))
         out = jnp.where(apply_salt[:, None, None, None] & salt, 255.0, out)
-        apply_pep = jax.random.uniform(keys[19], (b,)) < 0.5
-        pep = ~_coarse_mask(keys[20], b, h, w, 0.01, 0.075)
+        apply_pep = R(jax.random.uniform(keys[19], (b,)) < 0.5)
+        pep = R(~_coarse_mask(keys[20], b, h, w, 0.01, 0.075))
         out = jnp.where(apply_pep[:, None, None, None] & pep, 0.0, out)
 
         # histogram equalization p=0.1
-        apply_he = jax.random.uniform(keys[21], (b,)) < 0.1
+        apply_he = R(jax.random.uniform(keys[21], (b,)) < 0.1)
         eq = _equalize_hist(out)
         out = jnp.where(apply_he[:, None, None, None], eq, out)
 
         # CLAHE-ish p=0.1: clip-limited global equalization
-        apply_cl = jax.random.uniform(keys[22], (b,)) < 0.1
-        clip = jax.random.uniform(keys[22], (b,), minval=1.0, maxval=8.0)
+        apply_cl = R(jax.random.uniform(keys[22], (b,)) < 0.1)
+        clip = R(jax.random.uniform(keys[22], (b,), minval=1.0, maxval=8.0))
         cl = _equalize_hist(out, clip_limit=clip)
         out = jnp.where(apply_cl[:, None, None, None], cl, out)
 
         # emboss p=0.1, alpha (0, 0.5), strength (0.5, 1.5)
         apply_em = jax.random.uniform(keys[23], (b,)) < 0.1
-        em_alpha = jnp.where(
-            apply_em, jax.random.uniform(keys[23], (b,), minval=0.0, maxval=0.5), 0.0
+        em_alpha = R(
+            jnp.where(
+                apply_em,
+                jax.random.uniform(keys[23], (b,), minval=0.0, maxval=0.5),
+                0.0,
+            )
         )
-        em_strength = jax.random.uniform(keys[23], (b,), minval=0.5, maxval=1.5)
+        em_strength = R(jax.random.uniform(keys[23], (b,), minval=0.5, maxval=1.5))
         out = _emboss(out, em_alpha, em_strength)
 
+        if t > 1:
+            out = out.reshape(bsz, t, h, w, -1)
         return out, kp_new

@@ -164,6 +164,7 @@ def make_step_fns(
     df = meta["downsample_factor"]
     out_shape = (height // (2**df), width // (2**df))
     is_heatmap = meta["model_type"].startswith("heatmap")
+    is_context = meta["model_type"] == "heatmap_mhcrnn"
     uniform_nan = bool(cfg.training.get("uniform_heatmaps_for_nan_keypoints", False))
     anneal_cfg = cfg.callbacks.anneal_weight
     rmse_loss = RegressionRMSELoss()
@@ -190,6 +191,15 @@ def make_step_fns(
                 output_shape=out_shape,
                 visibility=visibility,
             )
+            if is_context:
+                # concatenate single-frame + multi-frame outputs, doubling
+                # the batch (reference heatmap_tracker_mhcrnn.py:154-174)
+                heatmaps_sf, heatmaps_mf = heatmaps
+                heatmaps = jnp.concatenate([heatmaps_sf, heatmaps_mf], axis=0)
+                targets = jnp.concatenate([targets, targets], axis=0)
+                keypoints = jnp.concatenate([keypoints, keypoints], axis=0)
+                visibility = jnp.concatenate([visibility, visibility], axis=0)
+                bbox = jnp.concatenate([bbox, bbox], axis=0)
             loss, logs = loss_factories["supervised"](
                 stage=stage,
                 anneal_weight=None,
@@ -275,11 +285,33 @@ def make_step_fns(
                 )
                 ul_images = normalize_images(ul_frames)
                 variables = {"params": params, "batch_stats": new_stats}
-                ul_heatmaps, mutated = module.apply(
-                    variables, ul_images, train=True, mutable=["batch_stats"]
-                )
-                new_stats = mutated["batch_stats"]
-                ul_preds, ul_confs = module.decode(ul_heatmaps)
+                if is_context:
+                    from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
+                        make_context_windows,
+                        merge_heads_by_confidence,
+                    )
+
+                    ul_windows = make_context_windows(ul_images)
+                    (ul_sf, ul_mf), mutated = module.apply(
+                        variables, ul_windows, train=True,
+                        mutable=["batch_stats"],
+                    )
+                    new_stats = mutated["batch_stats"]
+                    kp_sf, conf_sf = module.decode(ul_sf)
+                    kp_mf, conf_mf = module.decode(ul_mf)
+                    ul_preds, ul_confs = merge_heads_by_confidence(
+                        kp_sf, conf_sf, kp_mf, conf_mf
+                    )
+                    ul_heatmaps = ul_mf
+                    ul_transforms = ul_transforms[2:-2]
+                    if "bbox" in ul:
+                        ul = dict(ul, bbox=ul["bbox"][2:-2])
+                else:
+                    ul_heatmaps, mutated = module.apply(
+                        variables, ul_images, train=True, mutable=["batch_stats"]
+                    )
+                    new_stats = mutated["batch_stats"]
+                    ul_preds, ul_confs = module.decode(ul_heatmaps)
                 # undo the augmentation so unsupervised losses act in
                 # original frame coords (reference data/utils.py:192-235),
                 # then remap model -> frame resolution like the reference's
@@ -329,7 +361,19 @@ def make_step_fns(
     def predict_step(state: TrainState, images_uint8: jax.Array, bbox: jax.Array):
         images = normalize_images(images_uint8.astype(jnp.float32))
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        if is_heatmap:
+        if is_context:
+            from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
+                make_context_windows,
+                merge_heads_by_confidence,
+            )
+
+            if images.ndim == 4:  # video sequence -> sliding windows
+                images = make_context_windows(images)
+            heatmaps_sf, heatmaps_mf = module.apply(variables, images, train=False)
+            kp_sf, conf_sf = module.decode(heatmaps_sf)
+            kp_mf, conf_mf = module.decode(heatmaps_mf)
+            preds, confs = merge_heads_by_confidence(kp_sf, conf_sf, kp_mf, conf_mf)
+        elif is_heatmap:
             heatmaps = module.apply(variables, images, train=False)
             preds, confs = module.decode(heatmaps)
         else:
