@@ -7,6 +7,11 @@ tokens and reshapes the token grid to an ``(B, H/16, W/16, D)`` feature map
 (reference vit.py:16-50), which downstream heatmap heads consume exactly
 like a convnet feature map.
 
+The encoder is split into ``embed`` / ``encode_tokens`` stages so the
+multiview transformer can inject per-view embeddings and concatenate views
+into one token sequence before attention (reference
+heatmap_tracker_multiview.py:139-219).
+
 TPU notes: token count for 256px inputs is 16x16=256 — a single MXU-friendly
 attention; bfloat16 compute with fp32 params; position embeddings are
 bicubic-resized when the input grid differs from the pretrained grid
@@ -77,45 +82,62 @@ class ViT(nn.Module):
     pretrained_grid: int = 14  # pos-embed grid side at pretrain time (224/16)
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        b, h, w, _ = x.shape
-        gh, gw = h // self.patch_size, w // self.patch_size
-        x = x.astype(self.dtype)
-        x = nn.Conv(
+    def setup(self) -> None:
+        self.patch_embed = nn.Conv(
             self.embed_dim,
             (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             dtype=self.dtype,
             name="patch_embed",
-        )(x)  # (B, gh, gw, D)
-        tokens = x.reshape(b, gh * gw, self.embed_dim)
-
-        cls = self.param(
+        )
+        self.cls_token = self.param(
             "cls_token",
             nn.initializers.normal(stddev=0.02),
             (1, 1, self.embed_dim),
             jnp.float32,
-        ).astype(self.dtype)
-        tokens = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), tokens], axis=1)
-
-        pos = self.param(
+        )
+        self.pos_embed = self.param(
             "pos_embed",
             nn.initializers.normal(stddev=0.02),
             (1, self.pretrained_grid**2 + 1, self.embed_dim),
             jnp.float32,
         )
-        pos = _resize_pos_embed(pos, self.pretrained_grid, (gh, gw)).astype(self.dtype)
-        tokens = tokens + pos
+        self.blocks = [
+            EncoderBlock(num_heads=self.num_heads, dtype=self.dtype, name=f"block{i}")
+            for i in range(self.depth)
+        ]
+        self.ln = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")
 
-        for i in range(self.depth):
-            tokens = EncoderBlock(
-                num_heads=self.num_heads, dtype=self.dtype, name=f"block{i}"
-            )(tokens)
-        tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="ln")(
-            tokens
+    # -- stages -------------------------------------------------------------------
+
+    def embed(self, x: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
+        """Patch-embed + grid position embeddings, NO cls token.
+
+        Returns ((B, gh*gw, D) tokens, (gh, gw)).
+        """
+        b, h, w, _ = x.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+        tokens = self.patch_embed(x.astype(self.dtype)).reshape(
+            b, gh * gw, self.embed_dim
         )
+        pos = _resize_pos_embed(self.pos_embed, self.pretrained_grid, (gh, gw))
+        tokens = tokens + pos[:, 1:].astype(self.dtype)
+        return tokens, (gh, gw)
 
+    def encode_tokens(self, tokens: jax.Array) -> jax.Array:
+        """Run the transformer blocks + final layernorm over any token
+        sequence (used by the multiview model on view-concatenated tokens)."""
+        for block in self.blocks:
+            tokens = block(tokens)
+        return self.ln(tokens)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b = x.shape[0]
+        tokens, (gh, gw) = self.embed(x)
+        pos = _resize_pos_embed(self.pos_embed, self.pretrained_grid, (gh, gw))
+        cls = self.cls_token.astype(self.dtype) + pos[:, :1].astype(self.dtype)
+        tokens = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), tokens], axis=1)
+        tokens = self.encode_tokens(tokens)
         # drop CLS token, reshape token grid to NHWC feature map
         # (reference vit.py:16-50)
         return tokens[:, 1:, :].reshape(b, gh, gw, self.embed_dim)

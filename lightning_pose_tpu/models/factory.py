@@ -108,5 +108,6 @@ def get_model(
         "downsample_factor": downsample_factor,
         "num_keypoints": num_keypoints,
         "image_size": image_size,
+        "num_views": kwargs.get("num_views", 1),
     }
     return module, meta

@@ -165,6 +165,8 @@ def make_step_fns(
     out_shape = (height // (2**df), width // (2**df))
     is_heatmap = meta["model_type"].startswith("heatmap")
     is_context = meta["model_type"] == "heatmap_mhcrnn"
+    is_multiview = meta["model_type"] == "heatmap_multiview"
+    num_views = int(meta.get("num_views", 1) or 1)
     uniform_nan = bool(cfg.training.get("uniform_heatmaps_for_nan_keypoints", False))
     anneal_cfg = cfg.callbacks.anneal_weight
     rmse_loss = RegressionRMSELoss()
@@ -222,9 +224,13 @@ def make_step_fns(
             heatmaps = None
         # model coords -> original frame coords via per-sample bbox
         # (reference heatmap_tracker.py:140-142)
-        preds = bboxes_mod.model_to_frame_batch(preds, bbox, width, height)
+        preds = bboxes_mod.model_to_frame_batch(
+            preds, bbox, width, height, num_views=num_views
+        )
         kp_flat = keypoints.reshape(keypoints.shape[0], -1)
-        kp_frame = bboxes_mod.model_to_frame_batch(kp_flat, bbox, width, height)
+        kp_frame = bboxes_mod.model_to_frame_batch(
+            kp_flat, bbox, width, height, num_views=num_views
+        )
         # pixel-error logging (reference models/base.py:502)
         rmse, _ = rmse_loss(
             keypoints_targ=kp_frame, keypoints_pred=jax.lax.stop_gradient(preds)
@@ -247,9 +253,18 @@ def make_step_fns(
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         epoch = state.step // steps_per_epoch
         aug_rng = jax.random.fold_in(rng, state.step)
-        images, keypoints = augmenter(
-            aug_rng, batch["images"], batch["keypoints"]
-        )
+        if is_multiview:
+            imgs = batch["images"]  # (B, V, H, W, 3)
+            bsz = imgs.shape[0]
+            kp = batch["keypoints"].reshape(bsz * num_views, -1, 2)
+            imgs_flat = imgs.reshape(bsz * num_views, *imgs.shape[2:])
+            imgs_aug, kp_aug = augmenter(aug_rng, imgs_flat, kp)
+            images = imgs_aug.reshape(bsz, num_views, *imgs_aug.shape[1:])
+            keypoints = kp_aug.reshape(bsz, -1, 2)
+        else:
+            images, keypoints = augmenter(
+                aug_rng, batch["images"], batch["keypoints"]
+            )
         visibility = _effective_visibility(keypoints, batch["visibility"])
         images = normalize_images(images)
 
@@ -379,7 +394,9 @@ def make_step_fns(
         else:
             preds = module.apply(variables, images, train=False)
             confs = jnp.ones((preds.shape[0], preds.shape[1] // 2))
-        preds = bboxes_mod.model_to_frame_batch(preds, bbox, width, height)
+        preds = bboxes_mod.model_to_frame_batch(
+            preds, bbox, width, height, num_views=num_views
+        )
         return preds, confs
 
     return (
@@ -447,12 +464,20 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     loss_factories = get_loss_factories(cfg, data_module)
 
     # ---- model
-    module, meta = get_model(cfg, num_keypoints=dataset.num_keypoints)
+    # multiview models take the per-view keypoint count (the head is shared
+    # across views); single-view models take the total
+    module, meta = get_model(
+        cfg,
+        num_keypoints=getattr(dataset, "num_keypoints_per_view", dataset.num_keypoints),
+    )
     height = int(cfg.data.image_resize_dims.height)
     width = int(cfg.data.image_resize_dims.width)
     rng = jax.random.PRNGKey(seed)
     if meta["model_type"] == "heatmap_mhcrnn":
         dummy = jnp.zeros((1, 5, height, width, 3), dtype=jnp.float32)
+    elif meta["model_type"] == "heatmap_multiview":
+        nv = int(meta.get("num_views", 1) or 1)
+        dummy = jnp.zeros((1, nv, height, width, 3), dtype=jnp.float32)
     else:
         dummy = jnp.zeros((1, height, width, 3), dtype=jnp.float32)
     variables = module.init(rng, dummy, train=False)
@@ -501,11 +526,15 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
 
     # ---- logging + dirs (reference train.py:349-383)
     cfg.save(str(model_dir / "config.yaml"))
-    csv_src = Path(cfg.data.csv_file)
-    if not csv_src.is_absolute():
-        csv_src = Path(data_dir) / csv_src
-    if csv_src.exists():
-        shutil.copy(csv_src, model_dir / csv_src.name)
+    csv_files = cfg.data.csv_file
+    if isinstance(csv_files, str):
+        csv_files = [csv_files]
+    for csv_file in csv_files:
+        csv_src = Path(csv_file)
+        if not csv_src.is_absolute():
+            csv_src = Path(data_dir) / csv_src
+        if csv_src.exists():
+            shutil.copy(csv_src, model_dir / csv_src.name)
 
     version_dir = ckpt_utils.next_version_dir(str(model_dir), cfg.model.model_name)
     os.makedirs(version_dir, exist_ok=True)
@@ -648,8 +677,38 @@ def _evaluate_on_training_dataset(model: TrainedModel) -> None:
         valid = batch["valid"]
         preds.append((np.asarray(kp)[valid], np.asarray(conf)[valid]))
     handler = PredictionHandler(cfg=cfg, data_module=data_module)
-    df = handler(preds)
+    result = handler(preds)
 
+    view_names = cfg.data.get("view_names", None)
+    if isinstance(result, dict):  # multiview: one dataframe per view
+        csv_files = list(cfg.data.csv_file)
+        for view_name, csv_file in zip(view_names, csv_files):
+            df = result[view_name]
+            csv_name = Path(csv_file).name
+            preds_dir = model.model_dir / "image_preds" / csv_name
+            preds_dir.mkdir(parents=True, exist_ok=True)
+            preds_file = preds_dir / "predictions.csv"
+            df.to_csv(preds_file)
+            labels_file = Path(csv_file)
+            if not labels_file.is_absolute():
+                labels_file = Path(cfg.data.data_dir) / labels_file
+            try:
+                compute_metrics_single(
+                    cfg=cfg,
+                    labels_file=str(labels_file),
+                    preds_file=str(preds_file),
+                    data_module=data_module,
+                )
+            except Exception as e:
+                logger.warning(f"metrics computation failed ({view_name}): {e}")
+            for p_file in preds_dir.glob("predictions*.csv"):
+                out_name = p_file.stem.replace(
+                    "predictions", f"predictions_{view_name}"
+                ) + ".csv"
+                shutil.copy(p_file, model.model_dir / out_name)
+        return
+
+    df = result
     csv_name = Path(cfg.data.csv_file).name
     preds_dir = model.model_dir / "image_preds" / csv_name
     preds_dir.mkdir(parents=True, exist_ok=True)
