@@ -1,0 +1,336 @@
+"""High-level Model API (reference lightning_pose/api/model.py:231-1342).
+
+``Model.from_dir`` loads a trained model directory (config.yaml +
+tb_logs/.../checkpoints/*-best.ckpt discovery), rebuilds the Flax module,
+and exposes prediction entry points:
+
+- ``predict_on_label_csv`` -> image_preds/<csv>/predictions.csv (+ metrics)
+- ``predict_on_video_file`` -> video_preds/<stem>.csv (+ labeled mp4)
+- ``predict_frame`` -> keypoints for an in-memory frame
+
+Checkpoint loading is lazy (reference model.py:448-467); the forward is one
+jitted program reused across calls. ``export`` serializes the jitted
+computation via ``jax.export`` — the XLA-AOT analog of the reference's ONNX
+path (reference model.py:615-704).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+from lightning_pose_tpu.api.model_config import ModelConfig
+from lightning_pose_tpu.config import Config
+from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Model"]
+
+
+class Model:
+    """Lazy-loading high-level interface to a trained model directory."""
+
+    def __init__(self, model_dir: str | Path, config: ModelConfig) -> None:
+        self.model_dir = Path(model_dir)
+        self.config = config
+        self.cfg = config.cfg
+        self._module = None
+        self._meta = None
+        self._state = None
+        self._predict_fn = None
+
+    # -- constructors ---------------------------------------------------------------
+
+    @classmethod
+    def from_dir(cls, model_dir: str | Path) -> "Model":
+        """Load from a model directory containing config.yaml
+        (reference model.py:291)."""
+        config_path = Path(model_dir) / "config.yaml"
+        if not config_path.exists():
+            raise FileNotFoundError(f"no config.yaml in {model_dir}")
+        cfg = Config.from_yaml(str(config_path))
+        return cls(model_dir, ModelConfig(cfg))
+
+    @classmethod
+    def from_dir2(cls, model_dir: str | Path, hydra_overrides: list[str] | None = None):
+        """Load with extra config overrides (reference model.py:339)."""
+        model = cls.from_dir(model_dir)
+        if hydra_overrides:
+            model.cfg.apply_overrides(hydra_overrides)
+        return model
+
+    # -- output dir conventions (reference model.py:706-728) -------------------------
+
+    def image_preds_dir(self) -> Path:
+        return self.model_dir / "image_preds"
+
+    def video_preds_dir(self) -> Path:
+        return self.model_dir / "video_preds"
+
+    def labeled_videos_dir(self) -> Path:
+        return self.model_dir / "video_preds" / "labeled_videos"
+
+    @property
+    def ckpt_path(self) -> str | None:
+        return ckpt_path_from_base_path(
+            str(self.model_dir), self.cfg.model.model_name
+        )
+
+    # -- lazy loading -----------------------------------------------------------------
+
+    def _load(self) -> None:
+        if self._predict_fn is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from lightning_pose_tpu.data import bboxes as bboxes_mod
+        from lightning_pose_tpu.models.factory import get_model
+        from lightning_pose_tpu.ops.preprocess import normalize_images
+        from lightning_pose_tpu.train import checkpoints as ckpt_utils
+        from lightning_pose_tpu.train.trainer import TrainState
+
+        cfg = self.cfg
+        num_keypoints = cfg.data.num_keypoints
+        module, meta = get_model(cfg, num_keypoints=num_keypoints)
+        self._module = module
+        self._meta = meta
+
+        ckpt_path = self.ckpt_path
+        if ckpt_path is None:
+            raise FileNotFoundError(f"no checkpoint found under {self.model_dir}")
+        ckpt = ckpt_utils.load_checkpoint(ckpt_path)
+
+        height = int(cfg.data.image_resize_dims.height)
+        width = int(cfg.data.image_resize_dims.width)
+        rng = jax.random.PRNGKey(0)
+        if meta["model_type"] == "heatmap_mhcrnn":
+            dummy = jnp.zeros((1, 5, height, width, 3), dtype=jnp.float32)
+        elif meta["model_type"] == "heatmap_multiview":
+            nv = int(meta.get("num_views", 1) or 1)
+            dummy = jnp.zeros((1, nv, height, width, 3), dtype=jnp.float32)
+        else:
+            dummy = jnp.zeros((1, height, width, 3), dtype=jnp.float32)
+        variables = module.init(rng, dummy, train=False)
+
+        import flax.serialization
+
+        params = flax.serialization.from_state_dict(
+            variables["params"], ckpt["params"]
+        )
+        batch_stats = flax.serialization.from_state_dict(
+            variables.get("batch_stats", {}), ckpt["batch_stats"]
+        )
+        self._state = TrainState(
+            step=jnp.asarray(ckpt.get("step", 0), dtype=jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=None,
+        )
+
+        is_heatmap = meta["model_type"].startswith("heatmap")
+        is_context = meta["model_type"] == "heatmap_mhcrnn"
+        num_views = int(meta.get("num_views", 1) or 1)
+
+        def predict_step(state, images_uint8, bbox):
+            images = normalize_images(images_uint8.astype(jnp.float32))
+            vs = {"params": state.params, "batch_stats": state.batch_stats}
+            if is_context:
+                from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
+                    make_context_windows,
+                    merge_heads_by_confidence,
+                )
+
+                if images.ndim == 4:
+                    images = make_context_windows(images)
+                hm_sf, hm_mf = module.apply(vs, images, train=False)
+                kp_sf, conf_sf = module.decode(hm_sf)
+                kp_mf, conf_mf = module.decode(hm_mf)
+                preds, confs = merge_heads_by_confidence(
+                    kp_sf, conf_sf, kp_mf, conf_mf
+                )
+            elif is_heatmap:
+                heatmaps = module.apply(vs, images, train=False)
+                preds, confs = module.decode(heatmaps)
+            else:
+                preds = module.apply(vs, images, train=False)
+                confs = jnp.ones((preds.shape[0], preds.shape[1] // 2))
+            preds = bboxes_mod.model_to_frame_batch(
+                preds, bbox, width, height, num_views=num_views
+            )
+            return preds, confs
+
+        self._predict_fn = jax.jit(predict_step)
+
+    # -- prediction entry points -----------------------------------------------------
+
+    def predict_on_label_csv(
+        self,
+        csv_file: str | Path,
+        data_dir: str | Path | None = None,
+        compute_metrics: bool = True,
+        add_train_val_test_set: bool = False,
+        output_dir: str | Path | None = None,
+    ):
+        """Predict all frames of a labeled CSV; write
+        image_preds/<csv_name>/predictions.csv (reference model.py:958)."""
+        self._load()
+        from lightning_pose_tpu.data.datamodules import BaseDataModule
+        from lightning_pose_tpu.data.datasets import HeatmapDataset
+        from lightning_pose_tpu.utils.predictions import PredictionHandler
+
+        cfg = self.cfg.copy()
+        data_dir = str(data_dir or cfg.data.data_dir)
+        csv_file = str(csv_file)
+
+        dataset = HeatmapDataset(
+            root_directory=data_dir,
+            csv_path=csv_file,
+            image_resize_height=cfg.data.image_resize_dims.height,
+            image_resize_width=cfg.data.image_resize_dims.width,
+            imgaug_pipeline="default",
+            do_context=(cfg.model.model_type == "heatmap_mhcrnn"),
+            downsample_factor=int(cfg.data.get("downsample_factor", 2)),
+        )
+        data_module = BaseDataModule(
+            dataset=dataset,
+            train_batch_size=cfg.training.train_batch_size,
+            val_batch_size=cfg.training.val_batch_size,
+            test_batch_size=cfg.training.test_batch_size,
+            train_probability=cfg.training.train_prob,
+            val_probability=cfg.training.get("val_prob", None),
+            torch_seed=cfg.training.get("rng_seed_data_pt", 42),
+        )
+        if cfg.data.get("keypoint_names", None) is None:
+            cfg.data.keypoint_names = list(dataset.keypoint_names)
+
+        preds = []
+        for batch in data_module.full_batches():
+            kp, conf = self._predict_fn(self._state, batch["images"], batch["bbox"])
+            valid = batch["valid"]
+            preds.append((np.asarray(kp)[valid], np.asarray(conf)[valid]))
+        handler = PredictionHandler(cfg=cfg, data_module=data_module)
+        df = handler(preds)
+        if not add_train_val_test_set and ("set", "", "") in df.columns:
+            df = df.drop(columns=[("set", "", "")])
+
+        out_dir = Path(output_dir) if output_dir else (
+            self.image_preds_dir() / Path(csv_file).name
+        )
+        out_dir.mkdir(parents=True, exist_ok=True)
+        preds_file = out_dir / "predictions.csv"
+        df.to_csv(preds_file)
+
+        if compute_metrics:
+            from lightning_pose_tpu.metrics import compute_metrics_single
+
+            labels_file = Path(csv_file)
+            if not labels_file.is_absolute():
+                labels_file = Path(data_dir) / labels_file
+            try:
+                compute_metrics_single(
+                    cfg=cfg,
+                    labels_file=str(labels_file),
+                    preds_file=str(preds_file),
+                    data_module=data_module,
+                )
+            except Exception as e:
+                logger.warning(f"metrics computation failed: {e}")
+        return df
+
+    def predict_on_video_file(
+        self,
+        video_file: str | Path,
+        compute_metrics: bool = True,
+        generate_labeled_video: bool = False,
+        output_dir: str | Path | None = None,
+    ):
+        """Predict a video; write video_preds/<stem>.csv
+        (reference model.py:1139)."""
+        self._load()
+        from lightning_pose_tpu.utils.video_predictions import predict_video
+
+        preds_file = None
+        if output_dir:
+            preds_file = str(Path(output_dir) / (Path(video_file).stem + ".csv"))
+        return predict_video(
+            video_file=str(video_file),
+            cfg=self.cfg,
+            predict_fn=self._predict_fn,
+            state=self._state,
+            model_dir=str(self.model_dir),
+            preds_file=preds_file,
+            generate_labeled_video=generate_labeled_video,
+            compute_metrics=compute_metrics,
+        )
+
+    def predict_frame(self, frame: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Predict keypoints for one RGB frame (H, W, 3) uint8
+        (reference model.py:747).
+
+        Returns ((K, 2) keypoints in original frame coords, (K,) confidences).
+        """
+        self._load()
+        import cv2
+
+        height = int(self.cfg.data.image_resize_dims.height)
+        width = int(self.cfg.data.image_resize_dims.width)
+        orig_h, orig_w = frame.shape[:2]
+        resized = cv2.resize(frame, (width, height), interpolation=cv2.INTER_LINEAR)
+        if self.cfg.model.model_type == "heatmap_mhcrnn":
+            images = np.tile(resized[None, None], (1, 5, 1, 1, 1))
+        else:
+            images = resized[None]
+        bbox = np.array([[0.0, 0.0, orig_h, orig_w]], dtype=np.float32)
+        if self.cfg.model.model_type == "heatmap_mhcrnn":
+            bbox = np.tile(bbox, (5, 1))
+        kp, conf = self._predict_fn(self._state, images, bbox)
+        kp = np.asarray(kp)[0].reshape(-1, 2)
+        return kp, np.asarray(conf)[0]
+
+    # -- export / compile -------------------------------------------------------------
+
+    def compile(self) -> None:
+        """Eagerly compile the prediction program (torch.compile analog,
+        reference model.py:409). jit compilation happens on first call; this
+        just triggers it with the canonical video batch shape."""
+        self._load()
+        import jax.numpy as jnp
+
+        height = int(self.cfg.data.image_resize_dims.height)
+        width = int(self.cfg.data.image_resize_dims.width)
+        seq_len = int(self.cfg.dali.base.predict.sequence_length)
+        dummy = jnp.zeros((seq_len, height, width, 3), dtype=jnp.uint8)
+        bbox = jnp.tile(jnp.asarray([0.0, 0.0, height, width]), (seq_len, 1))
+        self._predict_fn(self._state, dummy, bbox)
+
+    def export(self, output_dir: str | Path | None = None) -> str:
+        """Serialize the jitted prediction program with ``jax.export`` —
+        the XLA-AOT analog of ONNX export (reference model.py:615-704)."""
+        self._load()
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jax_export
+
+        height = int(self.cfg.data.image_resize_dims.height)
+        width = int(self.cfg.data.image_resize_dims.width)
+        seq_len = int(self.cfg.dali.base.predict.sequence_length)
+        out_dir = Path(output_dir or (self.model_dir / "exports_xla"))
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        def fn(images, bbox):
+            return self._predict_fn(self._state, images, bbox)
+
+        exported = jax_export.export(jax.jit(fn))(
+            jax.ShapeDtypeStruct((seq_len, height, width, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((seq_len, 4), jnp.float32),
+        )
+        path = out_dir / "predict.jax_export"
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        logger.info(f"exported serialized XLA program to {path}")
+        return str(path)

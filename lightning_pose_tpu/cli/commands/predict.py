@@ -1,0 +1,82 @@
+"""``litpose predict`` (reference lightning_pose/cli/commands/predict.py:35-266)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import Any
+
+logger = logging.getLogger(__name__)
+
+NAME = "predict"
+
+
+def register_parser(subparsers: Any) -> argparse.ArgumentParser:
+    p = subparsers.add_parser(
+        NAME,
+        description=(
+            "Predict on videos, image directories, or labeled CSV files using "
+            "a trained model. Videos -> video_preds/<stem>.csv; CSVs -> "
+            "image_preds/<csv>/predictions.csv."
+        ),
+    )
+    p.add_argument("model_dir", type=Path, help="trained model directory")
+    p.add_argument(
+        "input_path",
+        type=Path,
+        nargs="+",
+        help="video file(s), CSV file(s), or a directory of videos",
+    )
+    p.add_argument("--output_dir", type=Path, default=None)
+    p.add_argument("--overrides", nargs="*", default=[], metavar="KEY=VALUE")
+    p.add_argument(
+        "--overwrite", action="store_true", help="overwrite existing predictions"
+    )
+    p.add_argument(
+        "--skip_viz", action="store_true", help="skip labeled-video generation"
+    )
+    p.add_argument(
+        "--compile", action="store_true",
+        help="eagerly compile the prediction program before running",
+    )
+    return p
+
+
+def handle(args: argparse.Namespace) -> None:
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.utils.io import check_video_paths
+
+    model = Model.from_dir2(args.model_dir, hydra_overrides=list(args.overrides))
+    if args.compile:
+        model.compile()
+
+    for input_path in args.input_path:
+        input_path = Path(input_path)
+        if input_path.is_dir():
+            files = check_video_paths(str(input_path))
+            for f in files:
+                _predict_one(model, Path(f), args)
+        else:
+            _predict_one(model, input_path, args)
+
+
+def _predict_one(model, input_path: Path, args: argparse.Namespace) -> None:
+    if input_path.suffix == ".mp4":
+        preds_file = model.video_preds_dir() / (input_path.stem + ".csv")
+        if preds_file.exists() and not args.overwrite:
+            logger.info(f"skipping {input_path} (predictions exist; use --overwrite)")
+            return
+        model.predict_on_video_file(
+            input_path,
+            generate_labeled_video=not args.skip_viz,
+            output_dir=args.output_dir,
+        )
+    elif input_path.suffix == ".csv":
+        preds_file = model.image_preds_dir() / input_path.name / "predictions.csv"
+        if preds_file.exists() and not args.overwrite:
+            logger.info(f"skipping {input_path} (predictions exist; use --overwrite)")
+            return
+        model.predict_on_label_csv(input_path, output_dir=args.output_dir)
+    else:
+        raise ValueError(f"unsupported input type: {input_path}")

@@ -1,0 +1,29 @@
+"""``litpose smooth_bbox``
+(reference lightning_pose/cli/commands/smooth_bbox.py:13-100)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Any
+
+NAME = "smooth_bbox"
+
+
+def register_parser(subparsers: Any) -> argparse.ArgumentParser:
+    p = subparsers.add_parser(
+        NAME, description="Temporally smooth bbox CSV files (rolling median)."
+    )
+    p.add_argument("input_bbox_dir", type=Path, help="directory of *_bbox.csv files")
+    p.add_argument("output_dir", type=Path, help="directory for smoothed files")
+    p.add_argument("--method", default="median", choices=["median"])
+    p.add_argument("--window", type=int, default=5)
+    return p
+
+
+def handle(args: argparse.Namespace) -> None:
+    from lightning_pose_tpu.utils import cropzoom as cz
+
+    cz.smooth_bbox(
+        args.input_bbox_dir, args.output_dir, method=args.method, window=args.window
+    )
