@@ -1,0 +1,75 @@
+"""Tests for the host video decode pipeline (DALI replacement) —
+mirroring reference tests/data/test_dali.py batch-policy coverage."""
+
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.data.video import (
+    PredictVideoLoader,
+    UnlabeledVideoLoader,
+    VideoFrameDecoder,
+    count_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def video_file():
+    import os
+
+    path = "/root/reference/data/mirror-mouse-example/videos/test_vid.mp4"
+    if not os.path.exists(path):
+        pytest.skip("test video not available")
+    return path
+
+
+def test_count_frames(video_file):
+    assert count_frames(video_file) == 994
+
+
+def test_decoder(video_file):
+    d = VideoFrameDecoder(video_file, 64, 64)
+    frame = d.read()
+    assert frame.shape == (64, 64, 3)
+    assert frame.dtype == np.uint8
+    assert d.orig_height == 406 and d.orig_width == 396
+    d.close()
+
+
+def test_predict_loader_fill_policy(video_file):
+    """994 frames at seq_len 64 -> 16 batches; last is FILLed with the final
+    frame (reference dali.py:699-760)."""
+    loader = PredictVideoLoader(video_file, 64, 64, 64)
+    batches = list(loader)
+    assert len(batches) == int(np.ceil(994 / 64))
+    assert all(b.shape == (64, 64, 64, 3) for b in batches)
+    total_rows = sum(b.shape[0] for b in batches)
+    assert total_rows >= 994
+    # FILL: trailing rows of last batch repeat the final frame
+    last = batches[-1]
+    n_pad = total_rows - 994
+    for i in range(1, n_pad + 1):
+        np.testing.assert_array_equal(last[-i], last[-n_pad - 1])
+
+
+def test_predict_loader_context_overlap(video_file):
+    """Context windows step by seq_len - 4 (reference dali.py:636-651)."""
+    loader = PredictVideoLoader(video_file, 16, 32, 32, do_context=True)
+    batches = list(loader)
+    assert all(b.shape == (16, 32, 32, 3) for b in batches)
+    # each batch of T frames yields T-4 usable outputs; total >= frame count
+    usable = len(batches) * (16 - 4)
+    assert usable >= 994 - 4
+
+
+def test_unlabeled_loader(video_file):
+    loader = UnlabeledVideoLoader(
+        [video_file], sequence_length=8, resize_height=32, resize_width=32, seed=1
+    )
+    item = next(loader)
+    assert item["frames"].shape == (8, 32, 32, 3)
+    assert item["bbox"].shape == (8, 4)
+    np.testing.assert_allclose(item["bbox"][0], [0, 0, 406, 396])
+    item2 = next(loader)
+    # random windows should differ
+    assert not np.array_equal(item["frames"], item2["frames"])
+    loader.close()

@@ -1,0 +1,190 @@
+"""Shape/behavior tests for the model stack (mirroring reference
+tests/models/* smoke coverage, CPU tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
+from lightning_pose_tpu.models.regression_tracker import RegressionTracker
+
+
+@pytest.fixture(scope="module")
+def rng_key():
+    return jax.random.PRNGKey(0)
+
+
+def test_heatmap_tracker_shapes(rng_key):
+    m = HeatmapTracker(
+        backbone_arch="resnet18", num_keypoints=5, image_size=128, dtype=jnp.float32
+    )
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    hm = m.apply(variables, x, train=False)
+    assert hm.shape == (2, 32, 32, 5)
+    # normalized heatmaps
+    np.testing.assert_allclose(np.asarray(hm.sum(axis=(1, 2))), 1.0, atol=1e-4)
+    kp, conf = m.apply(variables, hm, method=m.decode)
+    assert kp.shape == (2, 10)
+    assert conf.shape == (2, 5)
+    # decoded coords within image bounds
+    assert np.all(np.asarray(kp) > -3) and np.all(np.asarray(kp) < 131)
+
+
+def test_heatmap_tracker_df3(rng_key):
+    m = HeatmapTracker(
+        backbone_arch="resnet18", num_keypoints=3, downsample_factor=3,
+        image_size=128, dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    hm = m.apply(variables, x, train=False)
+    assert hm.shape == (1, 16, 16, 3)
+
+
+def test_heatmap_tracker_train_mode_updates_stats(rng_key):
+    m = HeatmapTracker(
+        backbone_arch="resnet18", num_keypoints=3, image_size=128, dtype=jnp.float32
+    )
+    x = jax.random.normal(rng_key, (2, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    _, mutated = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["backbone"]["bn1"]["mean"]
+    after = mutated["batch_stats"]["backbone"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_regression_tracker(rng_key):
+    m = RegressionTracker(
+        backbone_arch="resnet18", num_keypoints=4, image_size=128, dtype=jnp.float32
+    )
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (2, 8)
+
+
+def test_regression_rejects_vit():
+    with pytest.raises(Exception):
+        m = RegressionTracker(backbone_arch="vits_dino", num_keypoints=4)
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
+
+
+def test_mhcrnn_tracker(rng_key):
+    from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
+        HeatmapTrackerMHCRNN,
+        make_context_windows,
+        merge_heads_by_confidence,
+    )
+
+    m = HeatmapTrackerMHCRNN(
+        backbone_arch="resnet18", num_keypoints=3, image_size=128, dtype=jnp.float32
+    )
+    x = jnp.zeros((2, 5, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    hm_sf, hm_mf = m.apply(variables, x, train=False)
+    assert hm_sf.shape == (2, 32, 32, 3)
+    assert hm_mf.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(hm_mf.sum(axis=(1, 2))), 1.0, atol=1e-4)
+
+    # window tiling: T frames -> T-4 windows
+    seq = jnp.zeros((10, 16, 16, 3))
+    win = make_context_windows(seq)
+    assert win.shape == (6, 5, 16, 16, 3)
+
+    # confidence merge picks the higher-confidence head per keypoint
+    kp_sf = jnp.asarray([[1.0, 1.0, 2.0, 2.0]])
+    kp_mf = jnp.asarray([[5.0, 5.0, 6.0, 6.0]])
+    conf_sf = jnp.asarray([[0.9, 0.1]])
+    conf_mf = jnp.asarray([[0.5, 0.7]])
+    kp, conf = merge_heads_by_confidence(kp_sf, conf_sf, kp_mf, conf_mf)
+    np.testing.assert_allclose(np.asarray(kp), [[1.0, 1.0, 6.0, 6.0]])
+    np.testing.assert_allclose(np.asarray(conf), [[0.9, 0.7]])
+
+
+def test_multiview_tracker(rng_key):
+    from lightning_pose_tpu.models.heatmap_tracker_multiview import (
+        HeatmapTrackerMultiviewTransformer,
+    )
+
+    m = HeatmapTrackerMultiviewTransformer(
+        backbone_arch="vits_dino", num_keypoints=3, num_views=2,
+        image_size=128, dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 2, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    hm = m.apply(variables, x, train=False)
+    assert hm.shape == (1, 32, 32, 6)  # V * K channels, view-major
+    kp, conf = m.apply(variables, hm, method=m.decode)
+    assert kp.shape == (1, 12)
+    assert conf.shape == (1, 6)
+
+
+def test_multiview_rejects_sam_backbones():
+    from lightning_pose_tpu.models.heatmap_tracker_multiview import (
+        HeatmapTrackerMultiviewTransformer,
+    )
+
+    with pytest.raises(Exception):
+        m = HeatmapTrackerMultiviewTransformer(
+            backbone_arch="vitb_sam", num_keypoints=3, num_views=2
+        )
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 128, 128, 3)), train=False)
+
+
+def test_vit_backbone_shapes(rng_key):
+    from lightning_pose_tpu.models.backbones.vit import ViT
+
+    m = ViT(embed_dim=384, depth=2, num_heads=6, patch_size=16,
+            pretrained_grid=8, dtype=jnp.float32)
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (2, 8, 8, 384)
+
+
+def test_efficientnet_backbone(rng_key):
+    from lightning_pose_tpu.models.backbones.efficientnet import EfficientNet
+
+    m = EfficientNet(variant="b0", dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = m.init(rng_key, x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (1, 4, 4, 1280)
+
+
+def test_backbone_factory_registry():
+    from lightning_pose_tpu.models.backbones.factory import (
+        ALLOWED_BACKBONES,
+        BACKBONE_STRIDES,
+        build_backbone,
+    )
+
+    assert "resnet50_animal_ap10k" in ALLOWED_BACKBONES
+    assert BACKBONE_STRIDES["resnet50"] == 32
+    assert BACKBONE_STRIDES["vits_dino"] == 16
+    module, feats, pretrained = build_backbone("resnet50")
+    assert feats == 2048
+    with pytest.raises(ValueError):
+        build_backbone("not_a_backbone")
+
+
+def test_model_factory(cfg):
+    from lightning_pose_tpu.models.factory import (
+        check_if_semi_supervised,
+        get_model,
+        get_model_class,
+    )
+
+    assert not check_if_semi_supervised(None)
+    assert not check_if_semi_supervised([])
+    assert not check_if_semi_supervised([""])
+    assert check_if_semi_supervised(["temporal"])
+
+    module, meta = get_model(cfg)
+    assert meta["model_type"] == "heatmap"
+    assert not meta["semi_supervised"]
+
+    with pytest.raises(NotImplementedError):
+        get_model_class("not_a_model")

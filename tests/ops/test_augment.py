@@ -1,0 +1,130 @@
+"""Invariant tests for the device augmentation engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.ops.augment import AugmentationEngine, grid_sample_bilinear
+
+
+@pytest.fixture()
+def images(rng):
+    return rng.integers(0, 255, size=(4, 64, 64, 3)).astype(np.uint8)
+
+
+@pytest.fixture()
+def keypoints(rng):
+    return rng.uniform(10, 54, size=(4, 5, 2)).astype(np.float32)
+
+
+def test_default_is_identity(images, keypoints):
+    eng = AugmentationEngine("default", 64, 64)
+    key = jax.random.PRNGKey(0)
+    out_imgs, out_kps = eng(key, jnp.asarray(images), jnp.asarray(keypoints))
+    np.testing.assert_allclose(np.asarray(out_imgs), images.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(out_kps), keypoints)
+
+
+def test_dlc_preserves_shapes_and_range(images, keypoints):
+    eng = AugmentationEngine("dlc", 64, 64)
+    key = jax.random.PRNGKey(3)
+    out_imgs, out_kps = eng(key, jnp.asarray(images), jnp.asarray(keypoints))
+    assert out_imgs.shape == images.shape
+    assert out_kps.shape == keypoints.shape
+    arr = np.asarray(out_imgs)
+    assert arr.min() >= 0.0 and arr.max() <= 255.0
+    # in-bounds keypoints stay finite or become NaN (cropped out), never inf
+    kps = np.asarray(out_kps)
+    assert np.all(np.isfinite(kps) | np.isnan(kps))
+
+
+def test_dlc_is_random_but_seeded(images, keypoints):
+    eng = AugmentationEngine("dlc", 64, 64)
+    a1, k1 = eng(jax.random.PRNGKey(1), jnp.asarray(images), jnp.asarray(keypoints))
+    a2, k2 = eng(jax.random.PRNGKey(1), jnp.asarray(images), jnp.asarray(keypoints))
+    a3, _ = eng(jax.random.PRNGKey(2), jnp.asarray(images), jnp.asarray(keypoints))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    assert not np.allclose(np.asarray(a1), np.asarray(a3))
+
+
+def test_dlc_mv_keeps_keypoints_fixed(images, keypoints):
+    """dlc-mv has no geometric transforms (reference augmentations.py:147,
+    192, 216) so keypoints are untouched."""
+    eng = AugmentationEngine("dlc-mv", 64, 64)
+    _, out_kps = eng(jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(keypoints))
+    np.testing.assert_allclose(np.asarray(out_kps), keypoints, atol=1e-4)
+
+
+def test_context_stack_shares_transform(rng, keypoints):
+    """5D input: all frames of a sample get the same geometric transform."""
+    frames = np.tile(
+        rng.integers(0, 255, size=(2, 1, 64, 64, 3)).astype(np.uint8), (1, 5, 1, 1, 1)
+    )
+    eng = AugmentationEngine("dlc", 64, 64)
+    out, _ = eng(jax.random.PRNGKey(0), jnp.asarray(frames), jnp.asarray(keypoints[:2]))
+    assert out.shape == frames.shape
+    arr = np.asarray(out)
+    # identical input frames + one shared transform -> identical output frames
+    np.testing.assert_allclose(arr[:, 0], arr[:, 1], atol=1e-3)
+    np.testing.assert_allclose(arr[:, 0], arr[:, 4], atol=1e-3)
+
+
+def test_hflip_swaps_keypoints(rng):
+    imgs = rng.integers(0, 255, size=(64, 32, 32, 3)).astype(np.uint8)
+    kps = np.tile(np.array([[[4.0, 10.0], [20.0, 10.0]]], dtype=np.float32), (64, 1, 1))
+    swap = np.array([1, 0])
+    eng = AugmentationEngine("none", 32, 32, hflip=True, hflip_swap_indices=swap)
+    _, out_kps = eng(jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(kps))
+    out = np.asarray(out_kps)
+    # each sample is either unflipped or flipped+swapped
+    unflipped = np.allclose(out, kps, atol=1e-3)
+    flipped_count = 0
+    for i in range(64):
+        if np.allclose(out[i], kps[i], atol=1e-3):
+            continue
+        flipped_count += 1
+        # x mirrored: 31 - x, and keypoint identity swapped
+        np.testing.assert_allclose(out[i, 0, 0], 31 - kps[i, 1, 0], atol=1e-3)
+        np.testing.assert_allclose(out[i, 1, 0], 31 - kps[i, 0, 0], atol=1e-3)
+        np.testing.assert_allclose(out[i, :, 1], kps[i, :, 1], atol=1e-3)
+    # with p=0.5 over 64 samples, both outcomes should occur
+    assert 0 < flipped_count < 64
+
+
+def test_grid_sample_identity(rng):
+    imgs = rng.uniform(0, 255, size=(1, 16, 16, 3)).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    coords = np.stack([xs, ys], axis=-1)[None].astype(np.float32)
+    out = grid_sample_bilinear(jnp.asarray(imgs), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(out), imgs, atol=1e-4)
+
+
+def test_grid_sample_zero_outside(rng):
+    imgs = rng.uniform(1, 255, size=(1, 8, 8, 1)).astype(np.float32)
+    coords = np.full((1, 4, 4, 2), -10.0, dtype=np.float32)
+    out = grid_sample_bilinear(jnp.asarray(imgs), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_video_augment_sequence():
+    from lightning_pose_tpu.ops.video_augment import augment_video_sequence
+    from lightning_pose_tpu.data.video import undo_affine_transform_batch
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(4, 64, 64, 3)).astype(np.uint8)
+    out, transforms = augment_video_sequence(
+        jax.random.PRNGKey(0), jnp.asarray(frames, dtype=jnp.float32)
+    )
+    assert out.shape == frames.shape
+    assert transforms.shape == (4, 2, 3)
+    # undo round-trip: transform keypoints forward then undo them
+    kp = rng.uniform(5, 59, size=(4, 3, 2)).astype(np.float32)
+    t = np.asarray(transforms)
+    kp_aug = np.einsum("bij,bkj->bki", t[:, :, :2], kp) + t[:, None, :, 2]
+    kp_back = undo_affine_transform_batch(
+        jnp.asarray(kp_aug.reshape(4, -1)), jnp.asarray(transforms)
+    )
+    np.testing.assert_allclose(
+        np.asarray(kp_back).reshape(4, 3, 2), kp, rtol=1e-3, atol=1e-3
+    )
