@@ -1,0 +1,115 @@
+"""Training-loop callbacks re-cast as pure schedules + device ops
+(reference lightning_pose/callbacks.py:32-715).
+
+- AnnealWeight and the LR callbacks became closed-form schedules
+  (``train/schedules.py``).
+- PatchMasking (curriculum random 16x16 patch zeroing for the multiview
+  transformer, reference callbacks.py:191-451) is a jittable op plus a
+  ratio schedule, applied inside the train step.
+- The App-facing atomic-write JSON progress trackers
+  (reference callbacks.py:454-627) are kept as host-side classes.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "patch_mask_ratio",
+    "apply_patch_mask",
+    "JSONTrainingProgressTracker",
+    "JSONInferenceProgressTracker",
+]
+
+
+def patch_mask_ratio(
+    step,
+    init_ratio: float = 0.0,
+    final_ratio: float = 0.5,
+    start_step: int = 0,
+    end_step: int = 1,
+):
+    """Linear curriculum ramp of the masked-patch fraction
+    (reference callbacks.py:263-310)."""
+    span = max(end_step - start_step, 1)
+    frac = jnp.clip((step - start_step) / span, 0.0, 1.0)
+    return init_ratio + frac * (final_ratio - init_ratio)
+
+
+def apply_patch_mask(
+    rng: jax.Array,
+    images: jax.Array,
+    ratio: jax.Array,
+    patch_size: int = 16,
+) -> jax.Array:
+    """Zero a random ``ratio`` fraction of ``patch_size`` x ``patch_size``
+    patches per image (reference PatchMasker, callbacks.py:313-451).
+
+    Args:
+        images: ``(B, H, W, C)`` float images.
+        ratio: scalar in [0, 1] (may be traced).
+    """
+    b, h, w, _ = images.shape
+    gh, gw = h // patch_size, w // patch_size
+    scores = jax.random.uniform(rng, (b, gh, gw, 1))
+    keep = scores >= ratio
+    keep = jax.image.resize(
+        keep.astype(images.dtype), (b, h, w, 1), method="nearest"
+    )
+    return images * keep
+
+
+def _atomic_write_json(path: str | Path, payload: dict) -> None:
+    tmp = str(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, str(path))
+
+
+class JSONTrainingProgressTracker:
+    """Atomic-write training progress JSON consumed by the LP App
+    (reference callbacks.py:527-627)."""
+
+    def __init__(self, status_file: str | Path, total_epochs: int) -> None:
+        self.status_file = Path(status_file)
+        self.total_epochs = total_epochs
+
+    def update(self, epoch: int, extra: dict | None = None) -> None:
+        payload = {
+            "status": "TRAINING",
+            "current_epoch": int(epoch),
+            "total_epochs": int(self.total_epochs),
+            "progress": round(100.0 * (epoch + 1) / max(self.total_epochs, 1), 2),
+            **(extra or {}),
+        }
+        _atomic_write_json(self.status_file, payload)
+
+
+class JSONInferenceProgressTracker:
+    """Atomic-write inference progress JSON (reference callbacks.py:454-524)."""
+
+    def __init__(self, status_file: str | Path, total_batches: int) -> None:
+        self.status_file = Path(status_file)
+        self.total_batches = max(int(total_batches), 1)
+        self._n = 0
+
+    def step(self) -> None:
+        self._n += 1
+        _atomic_write_json(
+            self.status_file,
+            {
+                "status": "PREDICTING",
+                "progress": round(100.0 * self._n / self.total_batches, 2),
+            },
+        )
+
+    def finish(self) -> None:
+        _atomic_write_json(self.status_file, {"status": "COMPLETE", "progress": 100.0})

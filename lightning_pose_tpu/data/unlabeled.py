@@ -48,6 +48,9 @@ class UnlabeledDataModule(BaseDataModule):
             f"unlabeled stream: {len(video_files)} video(s), sequence_length={seq_len}"
         )
 
+    def close(self) -> None:
+        self.unlabeled_loader.close()
+
     def train_batches(self, epoch: int, steps: int | None = None):
         """Yield labeled batches augmented with an 'unlabeled' frames dict
         (max_size_cycle pairing, reference datamodules.py:320-341)."""

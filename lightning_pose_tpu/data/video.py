@@ -251,6 +251,15 @@ class UnlabeledVideoLoader:
 
     def close(self) -> None:
         self._stop.set()
+        # drain the queue so a blocked put() can observe the stop flag,
+        # then join before releasing decoders (cv2 teardown from a live
+        # daemon thread can crash at interpreter shutdown)
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
         for d in self._decoders.values():
             d.close()
 

@@ -259,6 +259,27 @@ def make_step_fns(
             kp = batch["keypoints"].reshape(bsz * num_views, -1, 2)
             imgs_flat = imgs.reshape(bsz * num_views, *imgs.shape[2:])
             imgs_aug, kp_aug = augmenter(aug_rng, imgs_flat, kp)
+            # curriculum patch masking for the multiview transformer
+            # (reference callbacks.py:191-451)
+            pm_cfg = cfg.callbacks.get("patch_masking", None)
+            if pm_cfg is not None:
+                from lightning_pose_tpu.callbacks import (
+                    apply_patch_mask,
+                    patch_mask_ratio,
+                )
+
+                ratio = patch_mask_ratio(
+                    state.step,
+                    init_ratio=float(pm_cfg.get("init_ratio", 0.0)),
+                    final_ratio=float(pm_cfg.get("final_ratio", 0.5)),
+                    start_step=int(pm_cfg.get("start_epoch", 0)) * steps_per_epoch,
+                    end_step=max(
+                        int(pm_cfg.get("end_epoch", 1)) * steps_per_epoch, 1
+                    ),
+                )
+                imgs_aug = apply_patch_mask(
+                    jax.random.fold_in(aug_rng, 7), imgs_aug, ratio
+                )
             images = imgs_aug.reshape(bsz, num_views, *imgs_aug.shape[1:])
             keypoints = kp_aug.reshape(bsz, -1, 2)
         else:
@@ -557,6 +578,9 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     patience = int(cfg.training.get("early_stop_patience", 3) or 3)
 
     _write_status(status_file, "TRAINING")
+    from lightning_pose_tpu.callbacks import JSONTrainingProgressTracker
+
+    progress = JSONTrainingProgressTracker(status_file, total_epochs=max_epochs)
     data_rng = jax.random.PRNGKey(int(cfg.training.get("rng_seed_data_pt", 0)))
 
     best_val = float("inf")
@@ -580,6 +604,7 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                 writer.add_scalar("lr-head", float(head_sched(global_step)), global_step)
                 writer.add_scalar("epoch", epoch, global_step)
 
+        progress.update(epoch)
         run_val = ((epoch + 1) % check_val_every == 0) or (epoch == max_epochs - 1)
         if run_val and len(data_module.val_dataset) > 0:
             val_logs_sum: dict[str, float] = {}
@@ -641,6 +666,8 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
 
     if writer is not None:
         writer.close()
+    if hasattr(data_module, "close"):
+        data_module.close()
 
     logger.info(f"training finished in {time.time() - t_start:.1f}s")
     _write_status(status_file, "EVALUATING")
