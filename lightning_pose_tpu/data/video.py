@@ -72,9 +72,14 @@ class VideoFrameDecoder:
         self.orig_height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         self.orig_width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
 
-    def read(self) -> np.ndarray | None:
+    def read_raw(self) -> np.ndarray | None:
+        """Decode one native-resolution BGR frame (no conversion/resize)."""
         ret, frame = self.cap.read()
-        if not ret:
+        return frame if ret else None
+
+    def read(self) -> np.ndarray | None:
+        frame = self.read_raw()
+        if frame is None:
             return None
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         return cv2.resize(frame, (self.w, self.h), interpolation=cv2.INTER_LINEAR)
@@ -116,26 +121,39 @@ class PredictVideoLoader:
         return int(np.ceil(self.frame_count / self.seq_len))
 
     def _produce(self, q: queue.Queue) -> None:
+        from lightning_pose_tpu import native
+
         decoder = VideoFrameDecoder(self.video_file, self.h, self.w)
         try:
             if not self.do_context:
+                # decode raw BGR frames sequentially (the codec is serial),
+                # then convert+resize the whole window in one fused native
+                # call parallelized across frames
                 last_frame = None
                 batch = []
                 while True:
-                    frame = decoder.read()
+                    frame = decoder.read_raw()
                     if frame is None:
                         break
                     last_frame = frame
                     batch.append(frame)
                     if len(batch) == self.seq_len:
-                        q.put(np.stack(batch))
+                        q.put(
+                            native.batch_resize_rgb(
+                                np.stack(batch), self.h, self.w, swap_rb=True
+                            )
+                        )
                         batch = []
                 if batch:
                     # FILL policy: repeat the final frame (reference
                     # dali.py:699-760)
                     while len(batch) < self.seq_len:
                         batch.append(last_frame)
-                    q.put(np.stack(batch))
+                    q.put(
+                        native.batch_resize_rgb(
+                            np.stack(batch), self.h, self.w, swap_rb=True
+                        )
+                    )
             else:
                 # overlapping windows: keep a rolling buffer
                 frames: list[np.ndarray] = []
