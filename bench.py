@@ -42,7 +42,7 @@ def main() -> None:
     def predict(variables, frames, bbox):
         images = normalize_images(frames.astype(jnp.float32))
         heatmaps = model.apply(variables, images, train=False)
-        preds, confs = model.decode(heatmaps)
+        preds, confs = model.decode(heatmaps, fast=True)
         preds = bboxes_mod.model_to_frame_batch(preds, bbox, size, size)
         return preds, confs
 

@@ -148,14 +148,14 @@ class Model:
                 if images.ndim == 4:
                     images = make_context_windows(images)
                 hm_sf, hm_mf = module.apply(vs, images, train=False)
-                kp_sf, conf_sf = module.decode(hm_sf)
-                kp_mf, conf_mf = module.decode(hm_mf)
+                kp_sf, conf_sf = module.decode(hm_sf, fast=True)
+                kp_mf, conf_mf = module.decode(hm_mf, fast=True)
                 preds, confs = merge_heads_by_confidence(
                     kp_sf, conf_sf, kp_mf, conf_mf
                 )
             elif is_heatmap:
                 heatmaps = module.apply(vs, images, train=False)
-                preds, confs = module.decode(heatmaps)
+                preds, confs = module.decode(heatmaps, fast=True)
             else:
                 preds = module.apply(vs, images, train=False)
                 confs = jnp.ones((preds.shape[0], preds.shape[1] // 2))

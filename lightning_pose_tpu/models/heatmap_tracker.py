@@ -54,8 +54,13 @@ class HeatmapTracker(nn.Module):
         features = self.backbone(images, train=train)
         return self.head(features)
 
-    def decode(self, heatmaps: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def decode(
+        self, heatmaps: jax.Array, fast: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
         """Soft-argmax decode to ((B, 2K) keypoints, (B, K) confidences)."""
         return run_subpixelmaxima(
-            heatmaps, downsample_factor=self.downsample_factor, temperature=1000.0
+            heatmaps,
+            downsample_factor=self.downsample_factor,
+            temperature=1000.0,
+            prefer_pallas=fast,
         )

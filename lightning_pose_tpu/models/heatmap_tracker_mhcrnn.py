@@ -84,7 +84,12 @@ class HeatmapTrackerMHCRNN(nn.Module):
         features = features.reshape(b, t, *features.shape[1:])
         return self.head(features)
 
-    def decode(self, heatmaps: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def decode(
+        self, heatmaps: jax.Array, fast: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
         return run_subpixelmaxima(
-            heatmaps, downsample_factor=self.downsample_factor, temperature=1000.0
+            heatmaps,
+            downsample_factor=self.downsample_factor,
+            temperature=1000.0,
+            prefer_pallas=fast,
         )

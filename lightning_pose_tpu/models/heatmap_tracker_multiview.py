@@ -95,8 +95,13 @@ class HeatmapTrackerMultiviewTransformer(nn.Module):
         heatmaps = jnp.moveaxis(heatmaps, 1, 3).reshape(b, hh, ww, v * self.num_keypoints)
         return heatmaps
 
-    def decode(self, heatmaps: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def decode(
+        self, heatmaps: jax.Array, fast: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
         """Soft-argmax over all V*K channels -> ((B, 2VK), (B, VK))."""
         return run_subpixelmaxima(
-            heatmaps, downsample_factor=self.downsample_factor, temperature=1000.0
+            heatmaps,
+            downsample_factor=self.downsample_factor,
+            temperature=1000.0,
+            prefer_pallas=fast,
         )

@@ -90,6 +90,7 @@ def run_subpixelmaxima(
     heatmaps: jax.Array,
     downsample_factor: int = 2,
     temperature: float = 1000.0,
+    prefer_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Soft-argmax decode (reference heads/heatmap.py:103-144).
 
@@ -97,12 +98,28 @@ def run_subpixelmaxima(
         heatmaps: ``(B, H, W, K)`` normalized heatmaps from the head.
         downsample_factor: number of 2x upsampling rounds to full resolution.
         temperature: softmax sharpening temperature.
+        prefer_pallas: on TPU, use the fused Pallas kernel (inference only —
+            the Pallas path defines no VJP; see ops/pallas_decode.py).
 
     Returns:
         tuple of
             - keypoints ``(B, 2K)`` flat (x, y) in full-image pixels,
             - confidences ``(B, K)``.
     """
+    import os
+
+    if (
+        prefer_pallas
+        and heatmaps.shape[1] == heatmaps.shape[2]
+        and jax.default_backend() == "tpu"
+        and os.environ.get("LP_TPU_PALLAS_DECODE", "1") != "0"
+    ):
+        from lightning_pose_tpu.ops.pallas_decode import run_subpixelmaxima_pallas
+
+        return run_subpixelmaxima_pallas(
+            heatmaps, downsample_factor=downsample_factor, temperature=temperature
+        )
+
     for _ in range(downsample_factor):
         heatmaps = upsample2x(heatmaps)
     softmaxes = spatial_softmax2d(heatmaps, temperature=temperature)

@@ -406,12 +406,12 @@ def make_step_fns(
             if images.ndim == 4:  # video sequence -> sliding windows
                 images = make_context_windows(images)
             heatmaps_sf, heatmaps_mf = module.apply(variables, images, train=False)
-            kp_sf, conf_sf = module.decode(heatmaps_sf)
-            kp_mf, conf_mf = module.decode(heatmaps_mf)
+            kp_sf, conf_sf = module.decode(heatmaps_sf, fast=True)
+            kp_mf, conf_mf = module.decode(heatmaps_mf, fast=True)
             preds, confs = merge_heads_by_confidence(kp_sf, conf_sf, kp_mf, conf_mf)
         elif is_heatmap:
             heatmaps = module.apply(variables, images, train=False)
-            preds, confs = module.decode(heatmaps)
+            preds, confs = module.decode(heatmaps, fast=True)
         else:
             preds = module.apply(variables, images, train=False)
             confs = jnp.ones((preds.shape[0], preds.shape[1] // 2))
