@@ -2,6 +2,8 @@
 
 from lightning_pose_tpu.losses.losses import (
     HeatmapJSLoss,
+    PairwiseProjectionsLoss,
+    ReprojectionHeatmapLoss,
     HeatmapKLLoss,
     HeatmapMSELoss,
     Loss,
@@ -24,4 +26,6 @@ __all__ = [
     "UnimodalLoss",
     "RegressionMSELoss",
     "RegressionRMSELoss",
+    "PairwiseProjectionsLoss",
+    "ReprojectionHeatmapLoss",
 ]

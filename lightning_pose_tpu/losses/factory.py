@@ -19,6 +19,8 @@ import numpy as np
 
 from lightning_pose_tpu.losses.losses import (
     HeatmapJSLoss,
+    PairwiseProjectionsLoss,
+    ReprojectionHeatmapLoss,
     HeatmapKLLoss,
     HeatmapMSELoss,
     PCALoss,
@@ -51,6 +53,8 @@ def get_loss_classes() -> dict[str, type]:
         "unimodal_mse": UnimodalLoss,
         "unimodal_kl": UnimodalLoss,
         "unimodal_js": UnimodalLoss,
+        "supervised_pairwise_projections": PairwiseProjectionsLoss,
+        "supervised_reprojection_heatmap_mse": ReprojectionHeatmapLoss,
     }
 
 
@@ -62,6 +66,28 @@ def get_loss_factories(cfg, data_module=None) -> dict[str, "LossFactory"]:
     if "heatmap" in cfg.model.model_type:
         loss_name = "heatmap_" + cfg.model.heatmap_loss_type
         loss_params["supervised"][loss_name] = {"log_weight": 0.0}
+        # supervised 3D losses for calibrated multiview models
+        # (reference factory.py:102-128)
+        if "multiview" in cfg.model.model_type and cfg.data.get("camera_params_file"):
+            lw_sp = cfg.losses.get("supervised_pairwise_projections", None)
+            if lw_sp is not None and lw_sp.get("log_weight") is not None:
+                logger.info("adding supervised pairwise projection loss")
+                loss_params["supervised"]["supervised_pairwise_projections"] = {
+                    "log_weight": lw_sp.get("log_weight")
+                }
+            lw_hr = cfg.losses.get("supervised_reprojection_heatmap_mse", None)
+            if lw_hr is not None and lw_hr.get("log_weight") is not None:
+                logger.info("adding supervised reprojection heatmap loss")
+                height_og = cfg.data.image_resize_dims.height
+                width_og = cfg.data.image_resize_dims.width
+                df = cfg.data.get("downsample_factor", 2)
+                loss_params["supervised"]["supervised_reprojection_heatmap_mse"] = {
+                    "log_weight": lw_hr.get("log_weight"),
+                    "original_image_height": height_og,
+                    "original_image_width": width_og,
+                    "downsampled_image_height": int(height_og // (2**df)),
+                    "downsampled_image_width": int(width_og // (2**df)),
+                }
     else:
         loss_params["supervised"][cfg.model.model_type] = {"log_weight": 0.0}
         if cfg.model.model_type == "regression":

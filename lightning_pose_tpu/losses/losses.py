@@ -367,6 +367,91 @@ class UnimodalLoss(Loss):
 # ------------------------------------------------------------------------------
 
 
+class PairwiseProjectionsLoss(Loss):
+    """L2 between target 3D keypoints and per-camera-pair triangulations
+    (reference losses.py:1142-1269)."""
+
+    loss_name = "supervised_pairwise_projections"
+
+    def __call__(
+        self,
+        keypoints_targ_3d: jax.Array,
+        keypoints_pred_3d: jax.Array,
+        stage: str | None = None,
+        **kwargs: Any,
+    ) -> tuple[jax.Array, dict[str, jax.Array]]:
+        """targ (batch, K, 3); pred (batch, cam_pairs, K, 3); NaNs masked."""
+        if keypoints_targ_3d is None or keypoints_pred_3d is None:
+            raise ValueError(
+                f"3D keypoints not available for {stage} stage. Camera params "
+                "file is required but not found; turn off "
+                "supervised_pairwise_projections loss to avoid this error."
+            )
+        nan_targ = jnp.any(jnp.isnan(keypoints_targ_3d), axis=-1)  # (B, K)
+        nan_pred = jnp.any(jnp.isnan(keypoints_pred_3d), axis=-1)  # (B, P, K)
+        invalid = nan_targ[:, None, :] | nan_pred
+        targ = jnp.nan_to_num(keypoints_targ_3d, nan=0.0)[:, None]
+        pred = jnp.nan_to_num(keypoints_pred_3d, nan=0.0)
+        dist = jnp.sqrt(jnp.sum((targ - pred) ** 2, axis=-1) + 1e-12)
+        scalar = masked_mean(dist, ~invalid)
+        return scalar, self.log_loss(scalar, stage)
+
+
+class ReprojectionHeatmapLoss(Loss):
+    """MSE between target heatmaps and heatmaps generated from 3D->2D
+    reprojected predictions (reference losses.py:1272-1402)."""
+
+    loss_name = "supervised_reprojection_heatmap_mse"
+
+    def __init__(
+        self,
+        original_image_height: int,
+        original_image_width: int,
+        downsampled_image_height: int,
+        downsampled_image_width: int,
+        log_weight: float = 0.0,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(log_weight=log_weight)
+        self.original_image_height = int(original_image_height)
+        self.original_image_width = int(original_image_width)
+        self.downsampled_image_height = int(downsampled_image_height)
+        self.downsampled_image_width = int(downsampled_image_width)
+
+    def __call__(
+        self,
+        heatmaps_targ: jax.Array,
+        keypoints_pred_2d_reprojected: jax.Array,
+        stage: str | None = None,
+        **kwargs: Any,
+    ) -> tuple[jax.Array, dict[str, jax.Array]]:
+        """targ (B, H, W, K); reprojected keypoints (B, K, 2) model coords.
+
+        Gradients flow through the reprojected keypoints into the Gaussian
+        targets (reference keep_gradients=True, losses.py:1394).
+        """
+        if keypoints_pred_2d_reprojected is None:
+            raise ValueError(
+                f"Reprojected keypoints not available for {stage} stage. "
+                "Camera params file is required but not found; turn off "
+                "supervised_reprojection_heatmap loss to avoid this error."
+            )
+        heatmaps_pred = generate_heatmaps(
+            keypoints_pred_2d_reprojected,
+            height=self.original_image_height,
+            width=self.original_image_width,
+            output_shape=(
+                self.downsampled_image_height,
+                self.downsampled_image_width,
+            ),
+        )
+        h, w = heatmaps_targ.shape[1], heatmaps_targ.shape[2]
+        elementwise = (heatmaps_targ - heatmaps_pred) ** 2 * (h * w)
+        valid = _valid_heatmap_mask(heatmaps_targ)
+        scalar = masked_mean(elementwise, valid[:, None, None, :])
+        return scalar, self.log_loss(scalar, stage)
+
+
 class RegressionMSELoss(Loss):
     """MSE between target and predicted coordinates, NaN targets masked
     (reference losses.py:1007-1096)."""

@@ -174,8 +174,10 @@ def make_step_fns(
     has_unsup = unsup is not None and len(unsup.loss_instance_dict) > 0
 
     def supervised_loss(
-        params, batch_stats, images, keypoints, visibility, bbox, train, stage
+        params, batch_stats, images, keypoints, visibility, bbox, train, stage,
+        extra_batch=None,
     ):
+        extra_batch = extra_batch or {}
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             heatmaps, mutated = module.apply(
@@ -202,13 +204,57 @@ def make_step_fns(
                 keypoints = jnp.concatenate([keypoints, keypoints], axis=0)
                 visibility = jnp.concatenate([visibility, visibility], axis=0)
                 bbox = jnp.concatenate([bbox, bbox], axis=0)
+            preds, confidences = module.decode(heatmaps)
+            # supervised 3D losses for calibrated multiview batches
+            # (reference heatmap_tracker_multiview.py:259-323)
+            extra_kwargs = {}
+            sup_names = loss_factories["supervised"].loss_instance_dict.keys()
+            if is_multiview and any(n.startswith("supervised_") for n in sup_names):
+                from lightning_pose_tpu.data.cameras import (
+                    project_3d_to_2d,
+                    project_camera_pairs_to_3d,
+                )
+
+                intr = extra_batch["intrinsic_matrix"].astype(jnp.float32)
+                extr = extra_batch["extrinsic_matrix"].astype(jnp.float32)
+                dist = extra_batch["distortions"].astype(jnp.float32)
+                bsz = preds.shape[0]
+                kpv = num_views
+                nk = preds.shape[1] // 2 // kpv
+                preds_frame = bboxes_mod.model_to_frame_batch(
+                    preds, bbox, width, height, num_views=kpv
+                )
+                pred_views = preds_frame.reshape(bsz, kpv, nk, 2)
+                kp_pred_3d = project_camera_pairs_to_3d(
+                    pred_views, intr, extr, dist
+                )
+                targ_frame = bboxes_mod.model_to_frame_batch(
+                    keypoints.reshape(bsz, -1), bbox, width, height, num_views=kpv
+                )
+                targ_views = jax.lax.stop_gradient(
+                    targ_frame.reshape(bsz, kpv, nk, 2)
+                )
+                kp_targ_3d = jnp.nanmean(
+                    project_camera_pairs_to_3d(targ_views, intr, extr, dist),
+                    axis=1,
+                )
+                extra_kwargs["keypoints_pred_3d"] = kp_pred_3d
+                extra_kwargs["keypoints_targ_3d"] = kp_targ_3d
+                if "supervised_reprojection_heatmap_mse" in sup_names:
+                    reproj_2d = project_3d_to_2d(
+                        jnp.mean(kp_pred_3d, axis=1), intr, extr, dist
+                    )  # (B, V, K, 2) original coords
+                    reproj_model = bboxes_mod.frame_to_model_batch(
+                        reproj_2d.reshape(bsz, kpv, nk, 2), bbox, width, height
+                    ).reshape(bsz, kpv * nk, 2)
+                    extra_kwargs["keypoints_pred_2d_reprojected"] = reproj_model
             loss, logs = loss_factories["supervised"](
                 stage=stage,
                 anneal_weight=None,
                 heatmaps_targ=targets,
                 heatmaps_pred=heatmaps,
+                **extra_kwargs,
             )
-            preds, confidences = module.decode(heatmaps)
         else:
             preds = heatmaps  # regression output
             confidences = jnp.ones(
@@ -300,7 +346,7 @@ def make_step_fns(
         def loss_fn(params):
             loss, new_stats, logs, heatmaps, preds, confs = supervised_loss(
                 params, state.batch_stats, images, keypoints, visibility,
-                batch["bbox"], train=True, stage="train",
+                batch["bbox"], train=True, stage="train", extra_batch=batch,
             )
             total = loss
             if has_unsup and "unlabeled" in batch:
@@ -390,7 +436,7 @@ def make_step_fns(
         visibility = _effective_visibility(keypoints, batch["visibility"])
         loss, _, logs, _, preds, confs = supervised_loss(
             state.params, state.batch_stats, images, keypoints, visibility,
-            batch["bbox"], train=False, stage=stage,
+            batch["bbox"], train=False, stage=stage, extra_batch=batch,
         )
         return logs, preds, confs
 
