@@ -1,0 +1,111 @@
+"""End-to-end training tests: artifact contract + multichip data
+parallelism (mirroring reference tests/test_train.py:51-224)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _small_train_cfg(cfg, model_name, **extra):
+    c = cfg.copy()
+    c.training.max_epochs = 1
+    c.training.min_epochs = 1
+    c.training.check_val_every_n_epoch = 1
+    c.training.unfreezing_epoch = 0
+    c.training.train_batch_size = 4
+    c.training.train_frames = 8
+    c.training.imgaug = "default"
+    c.model.model_name = model_name
+    c.model.backbone = "resnet18"
+    c.eval.predict_vids_after_training = False
+    for k, v in extra.items():
+        c.update_at(k, v)
+    return c
+
+
+@pytest.mark.slow
+def test_train_artifact_contract(cfg, tmp_path):
+    """train() writes the full reference artifact contract
+    (reference test_train.py:51-165)."""
+    import json
+
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "e2e-test")
+    model = train(c, model_dir=tmp_path)
+
+    assert (tmp_path / "config.yaml").exists()
+    assert (tmp_path / "CollectedData.csv").exists()
+    assert (tmp_path / "predictions.csv").exists()
+    assert (tmp_path / "predictions_pixel_error.csv").exists()
+    assert (tmp_path / "image_preds" / "CollectedData.csv" / "predictions.csv").exists()
+
+    status = json.loads((tmp_path / "train_status.json").read_text())
+    assert status["status"] == "COMPLETED"
+
+    # checkpoint discovery contract
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    ckpt = ckpt_path_from_base_path(str(tmp_path), "e2e-test")
+    assert ckpt is not None and ckpt.endswith("-best.ckpt")
+
+    # predictions CSV schema
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "predictions.csv", header=[0, 1, 2], index_col=0)
+    assert df.shape[0] == 90
+    assert df.keys()[-1][0] == "set"
+    sets = df.iloc[:, -1].to_numpy()
+    assert set(np.unique(sets)) <= {"train", "validation", "test", "unused"}
+
+    # Model API can reload the trained directory
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(tmp_path)
+    kp, conf = m.predict_frame(np.zeros((406, 396, 3), dtype=np.uint8))
+    assert kp.shape == (17, 2)
+
+
+@pytest.mark.slow
+@pytest.mark.multichip
+def test_train_data_parallel_2_devices(cfg, tmp_path):
+    """Training over a 2-device mesh produces the same artifact contract
+    (the multichip analog of reference test_train.py:167-224)."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs >= 2 devices")
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "ddp-test", **{"training.num_gpus": 2})
+    train(c, model_dir=tmp_path)
+    assert (tmp_path / "predictions.csv").exists()
+
+
+@pytest.mark.slow
+def test_train_steps_mode(cfg, tmp_path):
+    """Step-based training config (max_steps/unfreezing_step) works."""
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "steps-test")
+    c.training.max_epochs = None
+    c.training.min_epochs = None
+    c.training.unfreezing_epoch = None
+    c.training.max_steps = 4
+    c.training.min_steps = 4
+    c.training.unfreezing_step = 0
+    c.training.lr_scheduler_params.multisteplr.milestones = None
+    c.training.lr_scheduler_params.multisteplr.milestone_steps = [2]
+    train(c, model_dir=tmp_path)
+    assert (tmp_path / "predictions.csv").exists()
+
+
+def test_calculate_steps_per_epoch(cfg, toy_data_dir):
+    from lightning_pose_tpu.data.factory import get_data_module, get_dataset
+    from lightning_pose_tpu.train import calculate_steps_per_epoch
+
+    dataset = get_dataset(cfg, toy_data_dir)
+    dm = get_data_module(cfg, dataset)
+    # 90 frames * 0.8 = 72 train; batch 2 -> 36 steps
+    assert calculate_steps_per_epoch(dm) == 36
