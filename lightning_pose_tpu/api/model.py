@@ -268,6 +268,93 @@ class Model:
             compute_metrics=compute_metrics,
         )
 
+    def predict_on_video_file_multiview(
+        self,
+        video_file_per_view: list[str | Path],
+        compute_metrics: bool = True,
+        generate_labeled_video: bool = False,
+    ) -> dict:
+        """Frame-synchronized multiview video inference
+        (reference model.py:1225)."""
+        self._load()
+        from lightning_pose_tpu.utils.video_predictions import (
+            predict_video_multiview,
+        )
+
+        return predict_video_multiview(
+            video_file_per_view=[str(v) for v in video_file_per_view],
+            view_names=list(self.cfg.data.view_names),
+            cfg=self.cfg,
+            predict_fn=self._predict_fn,
+            state=self._state,
+            model_dir=str(self.model_dir),
+            generate_labeled_video=generate_labeled_video,
+            compute_metrics=compute_metrics,
+        )
+
+    def predict_on_label_csv_multiview(
+        self,
+        csv_file_per_view: list[str | Path],
+        data_dir: str | Path | None = None,
+        compute_metrics: bool = True,
+        add_train_val_test_set: bool = False,
+        **kwargs,
+    ) -> dict:
+        """Predict all frames of per-view labeled CSVs
+        (reference model.py:1052)."""
+        self._load()
+        from lightning_pose_tpu.data.datamodules import BaseDataModule
+        from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+        from lightning_pose_tpu.utils.predictions import PredictionHandler
+
+        cfg = self.cfg.copy()
+        data_dir = str(data_dir or cfg.data.data_dir)
+        cfg.data.csv_file = [str(c) for c in csv_file_per_view]
+        dataset = MultiviewHeatmapDataset(
+            cfg=cfg, data_dir=data_dir, imgaug_pipeline="default"
+        )
+        data_module = BaseDataModule(
+            dataset=dataset,
+            train_batch_size=cfg.training.train_batch_size,
+            val_batch_size=cfg.training.val_batch_size,
+            test_batch_size=cfg.training.test_batch_size,
+            train_probability=cfg.training.train_prob,
+            val_probability=cfg.training.get("val_prob", None),
+            torch_seed=cfg.training.get("rng_seed_data_pt", 42),
+        )
+        preds = []
+        for batch in data_module.full_batches():
+            kp, conf = self._predict_fn(self._state, batch["images"], batch["bbox"])
+            valid = batch["valid"]
+            preds.append((np.asarray(kp)[valid], np.asarray(conf)[valid]))
+        handler = PredictionHandler(cfg=cfg, data_module=data_module)
+        view_to_df = handler(preds)
+
+        out = {}
+        for view_name, csv_file in zip(cfg.data.view_names, cfg.data.csv_file):
+            df = view_to_df[view_name]
+            out_dir = self.image_preds_dir() / Path(csv_file).name
+            out_dir.mkdir(parents=True, exist_ok=True)
+            preds_file = out_dir / "predictions.csv"
+            df.to_csv(preds_file)
+            out[view_name] = df
+            if compute_metrics:
+                from lightning_pose_tpu.metrics import compute_metrics_single
+
+                labels_file = Path(csv_file)
+                if not labels_file.is_absolute():
+                    labels_file = Path(data_dir) / labels_file
+                try:
+                    compute_metrics_single(
+                        cfg=cfg,
+                        labels_file=str(labels_file),
+                        preds_file=str(preds_file),
+                        data_module=data_module,
+                    )
+                except Exception as e:
+                    logger.warning(f"metrics failed ({view_name}): {e}")
+        return out
+
     def predict_frame(self, frame: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Predict keypoints for one RGB frame (H, W, 3) uint8
         (reference model.py:747).

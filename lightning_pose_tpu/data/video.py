@@ -191,6 +191,44 @@ class PredictVideoLoader:
             yield item
 
 
+class MultiviewPredictVideoLoader:
+    """Frame-synchronized fixed-shape batches over one video per view.
+
+    Validates equal frame counts across views up front (the reference's
+    DALI multiview frame-count checks, reference dali.py:483-506) and
+    yields ``(T, V, H, W, 3)`` windows with the same FILL policy as the
+    single-view loader.
+    """
+
+    def __init__(
+        self,
+        video_files: list[str],
+        sequence_length: int,
+        resize_height: int,
+        resize_width: int,
+    ):
+        self.video_files = [str(v) for v in video_files]
+        self.loaders = [
+            PredictVideoLoader(v, sequence_length, resize_height, resize_width)
+            for v in self.video_files
+        ]
+        counts = [ld.frame_count for ld in self.loaders]
+        if len(set(counts)) != 1:
+            raise RuntimeError(
+                f"multiview videos have mismatched frame counts: "
+                f"{dict(zip(self.video_files, counts))}"
+            )
+        self.frame_count = counts[0]
+        self.seq_len = int(sequence_length)
+
+    def __len__(self) -> int:
+        return len(self.loaders[0])
+
+    def __iter__(self):
+        for windows in zip(*self.loaders):
+            yield np.stack(windows, axis=1)  # (T, V, H, W, 3)
+
+
 class UnlabeledVideoLoader:
     """Random-window unlabeled-frame loader for semi-supervised training.
 

@@ -815,6 +815,32 @@ def _predict_test_videos(model: TrainedModel) -> None:
     video_dir = cfg.eval.get("test_videos_directory")
     if not video_dir or not os.path.isdir(str(video_dir)):
         return
+    view_names = cfg.data.get("view_names", None)
+    if view_names and len(view_names) > 1:
+        try:
+            from lightning_pose_tpu.utils.io import find_video_files_for_views
+            from lightning_pose_tpu.utils.video_predictions import (
+                predict_video_multiview,
+            )
+
+            for session_videos in find_video_files_for_views(
+                str(video_dir), list(view_names)
+            ):
+                logger.info(f"predicting multiview session: {session_videos}")
+                predict_video_multiview(
+                    video_file_per_view=[str(v) for v in session_videos],
+                    view_names=list(view_names),
+                    cfg=cfg,
+                    predict_fn=model.predict_fn,
+                    state=model.state,
+                    model_dir=str(model.model_dir),
+                    generate_labeled_video=bool(
+                        cfg.eval.get("save_vids_after_training", False)
+                    ),
+                )
+        except Exception as e:
+            logger.warning(f"multiview video prediction failed: {e}")
+        return
     try:
         from lightning_pose_tpu.utils.video_predictions import predict_video
         from lightning_pose_tpu.utils.io import get_videos_in_dir

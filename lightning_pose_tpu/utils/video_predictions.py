@@ -116,6 +116,95 @@ def predict_video(
     return df
 
 
+def predict_video_multiview(
+    video_file_per_view: list[str],
+    view_names: list[str],
+    cfg,
+    predict_fn,
+    state,
+    model_dir: str,
+    generate_labeled_video: bool = False,
+    compute_metrics: bool = True,
+) -> dict:
+    """Frame-synchronized multiview video inference: one CSV per view
+    (reference api/model.py:1225 ``predict_on_video_file_multiview``)."""
+    import cv2
+
+    from lightning_pose_tpu.data.video import MultiviewPredictVideoLoader
+
+    seq_len = int(cfg.dali.base["predict"]["sequence_length"])
+    height = int(cfg.data.image_resize_dims.height)
+    width = int(cfg.data.image_resize_dims.width)
+
+    loader = MultiviewPredictVideoLoader(
+        [str(v) for v in video_file_per_view],
+        sequence_length=seq_len,
+        resize_height=height,
+        resize_width=width,
+    )
+    # per-view full-frame bboxes, (T, V*4)
+    bbox_cols = []
+    for v in video_file_per_view:
+        cap = cv2.VideoCapture(str(v))
+        oh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        ow = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        cap.release()
+        bbox_cols.append(np.tile([0.0, 0.0, oh, ow], (seq_len, 1)))
+    bbox = np.concatenate(bbox_cols, axis=1).astype(np.float32)
+
+    t0 = time.time()
+    preds = []
+    for batch in loader:
+        kp, conf = predict_fn(state, batch, bbox)
+        preds.append((np.asarray(kp), np.asarray(conf)))
+    elapsed = time.time() - t0
+    logger.info(
+        f"predicted {loader.frame_count} frames x {len(view_names)} views in "
+        f"{elapsed:.2f}s ({loader.frame_count / max(elapsed, 1e-9):.1f} frames/s)"
+    )
+
+    handler = PredictionHandler(
+        cfg=cfg, data_module=None, video_file=str(video_file_per_view[0])
+    )
+    view_to_df = handler(preds, is_multiview_video=True)
+
+    preds_dir = Path(model_dir) / "video_preds"
+    preds_dir.mkdir(parents=True, exist_ok=True)
+    out = {}
+    for view_name, video_file in zip(view_names, video_file_per_view):
+        df = view_to_df[view_name]
+        preds_file = preds_dir / (Path(video_file).stem + ".csv")
+        df.to_csv(preds_file)
+        out[view_name] = df
+        if compute_metrics:
+            try:
+                from lightning_pose_tpu.metrics import compute_metrics_single
+
+                compute_metrics_single(
+                    cfg=cfg, labels_file=None, preds_file=str(preds_file)
+                )
+            except Exception as e:
+                logger.warning(f"video metrics failed ({view_name}): {e}")
+        if generate_labeled_video:
+            labeled_dir = preds_dir / "labeled_videos"
+            labeled_dir.mkdir(parents=True, exist_ok=True)
+            try:
+                _create_labeled_video(
+                    video_file=str(video_file),
+                    preds_df_file=str(preds_file),
+                    output_mp4=str(
+                        labeled_dir / (Path(video_file).stem + "_labeled.mp4")
+                    ),
+                    confidence_thresh=float(
+                        cfg.eval.get("confidence_thresh_for_vid", 0.9)
+                    ),
+                    colormap=str(cfg.eval.get("colormap", "cool")),
+                )
+            except Exception as e:
+                logger.warning(f"labeled video failed ({view_name}): {e}")
+    return out
+
+
 def _make_cmap(n: int, cmap: str) -> np.ndarray:
     """n evenly spaced RGB colors from a matplotlib colormap
     (reference predictions.py:560-574)."""
