@@ -58,12 +58,15 @@ def main() -> None:
     jax.block_until_ready(out)
 
     t0 = time.time()
-    total = 0
+    outs = []
     for batch in loader:
-        preds, confs = predict(variables, jnp.asarray(batch), bbox)
-    jax.block_until_ready((preds, confs))
+        outs.append(predict(variables, jnp.asarray(batch), bbox))
+    # force full host materialization (block_until_ready is unreliable
+    # through remote-device tunnels)
+    results = [(np.asarray(kp), np.asarray(conf)) for kp, conf in outs]
     elapsed = time.time() - t0
     fps = n_frames / elapsed
+    assert len(results) == len(loader)
 
     print(
         json.dumps(

@@ -76,8 +76,8 @@ def _decode_kernel(hm_ref, m_ref, out_ref, *, temperature: float, window: int):
     e = jnp.exp(z - z_max)
     s = jnp.sum(e)
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (h_out, w_out), 0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (h_out, w_out), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h_out, w_out), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h_out, w_out), 1).astype(jnp.float32)
     px = jnp.sum(e * cols) / s
     py = jnp.sum(e * rows) / s
 
@@ -91,11 +91,18 @@ def _decode_kernel(hm_ref, m_ref, out_ref, *, temperature: float, window: int):
     ).astype(jnp.float32)
     conf = jnp.sum(e * mask) / s
 
-    out = jnp.zeros((1, 128), dtype=jnp.float32)
-    out = out.at[0, 0].set(px)
-    out = out.at[0, 1].set(py)
-    out = out.at[0, 2].set(conf)
-    out_ref[:] = out
+    # assemble the (1, 8, 128) output tile without scatter (unsupported in
+    # the TPU lowering): select by lane/sublane index
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    tile = jnp.where(
+        (row_ids == 0) & (col_ids == 0), px,
+        jnp.where(
+            (row_ids == 0) & (col_ids == 1), py,
+            jnp.where((row_ids == 0) & (col_ids == 2), conf, 0.0),
+        ),
+    )
+    out_ref[:] = tile[None]
 
 
 def run_subpixelmaxima_pallas(
@@ -133,14 +140,16 @@ def run_subpixelmaxima_pallas(
             pl.BlockSpec((m.shape[0], m.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * k, 128), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * k, 8, 128), jnp.float32),
         interpret=interpret,
     )(maps, m)
 
-    px = out[:, 0].reshape(b, k)
-    py = out[:, 1].reshape(b, k)
-    conf = out[:, 2].reshape(b, k)
+    px = out[:, 0, 0].reshape(b, k)
+    py = out[:, 0, 1].reshape(b, k)
+    conf = out[:, 0, 2].reshape(b, k)
     offset = {0: 0.0, 1: 0.5, 2: 1.5, 3: 2.5}[downsample_factor]
     preds = jnp.stack([px - offset, py - offset], axis=-1)  # (B, K, 2)
     return preds.reshape(b, 2 * k), conf

@@ -64,10 +64,14 @@ def predict_video(
     )
 
     t0 = time.time()
-    preds = []
+    # dispatch all batches asynchronously (device work overlaps host
+    # decode), then fetch results at the end — one pipeline, no per-batch
+    # host sync
+    device_preds = []
     for batch in loader:
         kp, conf = predict_fn(state, batch, bbox)
-        preds.append((np.asarray(kp), np.asarray(conf)))
+        device_preds.append((kp, conf))
+    preds = [(np.asarray(kp), np.asarray(conf)) for kp, conf in device_preds]
     elapsed = time.time() - t0
     fps = loader.frame_count / max(elapsed, 1e-9)
     logger.info(
