@@ -75,12 +75,13 @@ ALLOWED_BACKBONES = ALLOWED_CONVNET_BACKBONES + ALLOWED_TRANSFORMER_BACKBONES
 
 # feature-map stride (input_size / feature_map_size); drives the number of
 # upsampling layers in the heatmap head (reference factory.py:98-124)
+# NOTE: the reference's SAM2 Hiera trunk runs at stride 32
+# (reference factory.py:121-123); this build substitutes a plain ViT for the
+# sam2 names (stride 16), so the stride map reflects OUR architecture to
+# keep the head's upsampling-layer count consistent.
 BACKBONE_STRIDES: dict[str, int] = {
     **{name: 32 for name in ALLOWED_CONVNET_BACKBONES},
     **{name: 16 for name in ALLOWED_TRANSFORMER_BACKBONES},
-    "vitb_sam2": 32,
-    "vits_sam2": 32,
-    "vitt_sam2": 32,
 }
 
 

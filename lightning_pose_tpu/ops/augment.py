@@ -259,8 +259,166 @@ def _emboss(images: jax.Array, alpha: jax.Array, strength: jax.Array) -> jax.Arr
 # ------------------------------------------------------------------------------
 
 
+
+# ------------------------------------------------------------------------------
+# pipeline spec
+# ------------------------------------------------------------------------------
+
+
+def build_spec(pipeline: str | dict | None) -> dict:
+    """Normalize a preset string or an imgaug-style per-transform dict
+    (reference augmentations.py:12-106) into the engine's parameter spec.
+
+    Each key is an optional transform; None disables it. Unknown transforms
+    in a user dict are skipped with a warning.
+    """
+    spec: dict = {
+        "rot90": None,          # {"p", "k": [choices]}
+        "affine": None,         # {"p", "rotate": deg}
+        "croppad": None,        # {"p", "percent"}
+        "elastic": None,        # {"p", "alpha": (lo, hi), "sigma"}
+        "motion_blur": None,    # {"p", "k", "angle": deg}
+        "coarse_dropout": None, # {"p", "drop", "size", "per_channel"}
+        "coarse_salt": None,    # {"p", "drop", "size"}
+        "coarse_pepper": None,  # {"p", "drop", "size"}
+        "histeq": None,         # {"p"}
+        "clahe": None,          # {"p", "clip": (lo, hi)}
+        "emboss": None,         # {"p", "alpha": (lo, hi), "strength": (lo, hi)}
+        "fliplr": None,         # {"p"} — imgaug Fliplr (plain mirror, no swap)
+    }
+    if pipeline is None or pipeline in ("default", "none"):
+        return spec
+    if isinstance(pipeline, str):
+        if not pipeline.startswith("dlc"):
+            raise NotImplementedError(
+                f"cfg.training.imgaug string {pipeline} must be a preset "
+                "(default/none/dlc/dlc-lr/dlc-top-down/dlc-mv) or a dict"
+            )
+        # dlc presets (reference augmentations.py:136-221)
+        if pipeline == "dlc-lr":
+            spec["rot90"] = {"p": 1.0, "k": [0, 2]}
+        elif pipeline == "dlc-top-down":
+            spec["rot90"] = {"p": 1.0, "k": [0, 1, 2, 3]}
+        geometric = not pipeline.endswith("mv")
+        if geometric:
+            spec["affine"] = {"p": 0.4, "rotate": 25.0}
+            spec["croppad"] = {"p": 0.4, "percent": 0.15}
+            spec["elastic"] = {"p": 0.5, "alpha": (0.0, 10.0), "sigma": 5.0}
+        spec["motion_blur"] = {"p": 0.5, "k": 5, "angle": 90.0}
+        spec["coarse_dropout"] = {
+            "p": 0.5, "drop": 0.02, "size": 0.3, "per_channel": 0.5
+        }
+        spec["coarse_salt"] = {"p": 0.5, "drop": 0.01, "size": 0.075}
+        spec["coarse_pepper"] = {"p": 0.5, "drop": 0.01, "size": 0.075}
+        spec["histeq"] = {"p": 0.1}
+        spec["clahe"] = {"p": 0.1, "clip": (1.0, 8.0)}
+        spec["emboss"] = {"p": 0.1, "alpha": (0.0, 0.5), "strength": (0.5, 1.5)}
+        return spec
+
+    # imgaug-style dict (reference augmentations.py:12-106)
+    import logging
+
+    logger = logging.getLogger(__name__)
+
+    def _rng_mag(value, default):
+        """imgaug ranges come as (lo, hi) or scalars; return magnitude."""
+        if value is None:
+            return default
+        if isinstance(value, (list, tuple)):
+            return float(max(abs(v) for v in value))
+        return float(abs(value))
+
+    def _rng_pair(value, default):
+        if value is None:
+            return default
+        if isinstance(value, (list, tuple)) and len(value) == 2:
+            return (float(value[0]), float(value[1]))
+        v = float(value)
+        return (v, v)
+
+    for name, args in dict(pipeline).items():
+        args = args or {}
+        prob = float(args.get("p", 0.5))
+        kwargs = dict(args.get("kwargs", {}) or {})
+        if prob == 0.0:
+            continue
+        if name == "Rot90":
+            k = kwargs.get("k", [0, 1, 2, 3])
+            if isinstance(k, (list, tuple)) and len(k) == 1                     and isinstance(k[0], (list, tuple)):
+                choices = list(k[0])
+            elif isinstance(k, (list, tuple)) and len(k) == 2:
+                choices = list(range(int(k[0]), int(k[1]) + 1))
+            elif isinstance(k, (list, tuple)):
+                choices = [int(v) for v in k]
+            else:
+                choices = [int(k)]
+            spec["rot90"] = {"p": prob, "k": choices}
+        elif name == "Affine":
+            spec["affine"] = {
+                "p": prob, "rotate": _rng_mag(kwargs.get("rotate"), 25.0)
+            }
+        elif name == "Fliplr":
+            spec["fliplr"] = {"p": prob}
+        elif name == "MotionBlur":
+            spec["motion_blur"] = {
+                "p": prob,
+                "k": int(kwargs.get("k", 5)),
+                "angle": _rng_mag(kwargs.get("angle"), 90.0),
+            }
+        elif name == "CoarseDropout":
+            size = kwargs.get("size_percent", 0.3)
+            if isinstance(size, (list, tuple)):
+                size = float(sum(size) / len(size))
+            spec["coarse_dropout"] = {
+                "p": prob,
+                "drop": float(kwargs.get("p", 0.02)),
+                "size": float(size),
+                "per_channel": float(kwargs.get("per_channel", 0.0)),
+            }
+        elif name in ("CoarseSalt", "CoarsePepper"):
+            size = kwargs.get("size_percent", 0.075)
+            if isinstance(size, (list, tuple)):
+                size = float(sum(size) / len(size))
+            key = "coarse_salt" if name == "CoarseSalt" else "coarse_pepper"
+            spec[key] = {
+                "p": prob,
+                "drop": float(kwargs.get("p", 0.01)),
+                "size": float(size),
+            }
+        elif name == "ElasticTransformation":
+            spec["elastic"] = {
+                "p": prob,
+                "alpha": _rng_pair(kwargs.get("alpha"), (0.0, 10.0)),
+                "sigma": float(
+                    kwargs.get("sigma", 5.0)
+                    if not isinstance(kwargs.get("sigma"), (list, tuple))
+                    else sum(kwargs["sigma"]) / 2
+                ),
+            }
+        elif name == "AllChannelsHistogramEqualization":
+            spec["histeq"] = {"p": prob}
+        elif name == "AllChannelsCLAHE":
+            spec["clahe"] = {
+                "p": prob, "clip": _rng_pair(kwargs.get("clip_limit"), (1.0, 8.0))
+            }
+        elif name == "Emboss":
+            spec["emboss"] = {
+                "p": prob,
+                "alpha": _rng_pair(kwargs.get("alpha"), (0.0, 0.5)),
+                "strength": _rng_pair(kwargs.get("strength"), (0.5, 1.5)),
+            }
+        elif name == "CropAndPad":
+            pct = kwargs.get("percent", 0.15)
+            spec["croppad"] = {"p": prob, "percent": _rng_mag(pct, 0.15)}
+        elif name == "Resize":
+            pass  # images are already resized on host
+        else:
+            logger.warning(f"unsupported augmentation transform '{name}'; skipped")
+    return spec
+
 class AugmentationEngine:
-    """Batched, jittable augmentation matching an imgaug preset."""
+    """Batched, jittable augmentation from a preset string or an
+    imgaug-style per-transform dict."""
 
     def __init__(
         self,
@@ -270,12 +428,8 @@ class AugmentationEngine:
         hflip: bool = False,
         hflip_swap_indices: np.ndarray | None = None,
     ) -> None:
-        self.pipeline = pipeline if isinstance(pipeline, str) else (pipeline or "default")
-        if not isinstance(self.pipeline, str):
-            raise NotImplementedError(
-                "custom per-transform augmentation dicts are not supported yet; "
-                "use a preset string"
-            )
+        self.pipeline = pipeline if pipeline is not None else "default"
+        self.spec = build_spec(self.pipeline)
         self.h = int(image_height)
         self.w = int(image_width)
         self.hflip = hflip
@@ -284,8 +438,13 @@ class AugmentationEngine:
             if hflip_swap_indices is not None
             else None
         )
-        self.is_dlc = self.pipeline.startswith("dlc")
-        self.geometric = self.is_dlc and not self.pipeline.endswith("mv")
+        # photometric dlc-style stack present?
+        self.is_dlc = self.spec["motion_blur"] is not None or any(
+            self.spec[k] is not None
+            for k in ("coarse_dropout", "coarse_salt", "coarse_pepper",
+                      "histeq", "clahe", "emboss")
+        )
+        self.identity = all(v is None for v in self.spec.values()) and not hflip
         self._call = jax.jit(self._augment)
 
     def __call__(self, rng: jax.Array, images: jax.Array, keypoints: jax.Array):
@@ -298,7 +457,7 @@ class AugmentationEngine:
 
         Returns (augmented images 0-255 float32, transformed keypoints).
         """
-        if self.pipeline in ("default", "none") and not self.hflip:
+        if self.identity:
             return images.astype(jnp.float32), keypoints
         return self._call(rng, images, keypoints)
 
@@ -320,35 +479,38 @@ class AugmentationEngine:
         images = images.astype(jnp.float32)
         keys = jax.random.split(rng, 24)
 
+        spec = self.spec
         forward = _identity(b)  # keypoint matrix: new = F @ old
 
-        if self.is_dlc:
-            # Rot90 variants (reference augmentations.py:138-144)
-            if self.pipeline == "dlc-lr":
-                k_choices = jnp.asarray([0, 2])
-                k = k_choices[jax.random.randint(keys[0], (b,), 0, 2)]
-                forward = _rot90_matrix(k, h, w) @ forward
-            elif self.pipeline == "dlc-top-down":
-                k = jax.random.randint(keys[0], (b,), 0, 4)
-                forward = _rot90_matrix(k, h, w) @ forward
+        if spec["rot90"] is not None:
+            # Rot90 (reference augmentations.py:138-144)
+            choices = jnp.asarray(spec["rot90"]["k"])
+            apply = jax.random.uniform(keys[16], (b,)) < spec["rot90"]["p"]
+            k = choices[jax.random.randint(keys[0], (b,), 0, len(spec["rot90"]["k"]))]
+            k = jnp.where(apply, k, 0)
+            forward = _rot90_matrix(k, h, w) @ forward
 
-        if self.geometric:
-            # Affine rotate +-25 deg, p=0.4 (reference augmentations.py:146-149)
-            apply_rot = jax.random.uniform(keys[1], (b,)) < 0.4
+        if spec["affine"] is not None:
+            # Affine rotation (reference augmentations.py:146-149)
+            rot = spec["affine"]["rotate"]
+            apply_rot = jax.random.uniform(keys[1], (b,)) < spec["affine"]["p"]
             theta = jax.random.uniform(
-                keys[2], (b,), minval=-25.0, maxval=25.0
+                keys[2], (b,), minval=-rot, maxval=rot
             ) * (np.pi / 180.0)
             theta = jnp.where(apply_rot, theta, 0.0)
             forward = _rotation_about_center(theta, h, w) @ forward
 
-            # CropAndPad +-15% per side, p=0.4 (reference augmentations.py:216-221)
-            apply_cp = jax.random.uniform(keys[3], (b,)) < 0.4
-            percents = jax.random.uniform(keys[4], (b, 4), minval=-0.15, maxval=0.15)
+        if spec["croppad"] is not None:
+            # CropAndPad per side (reference augmentations.py:216-221)
+            pct = spec["croppad"]["percent"]
+            apply_cp = jax.random.uniform(keys[3], (b,)) < spec["croppad"]["p"]
+            percents = jax.random.uniform(keys[4], (b, 4), minval=-pct, maxval=pct)
             percents = jnp.where(apply_cp[:, None], percents, 0.0)
             forward = _croppad_matrix(percents, h, w) @ forward
 
-        if self.hflip:
-            flip = jax.random.uniform(keys[5], (b,)) < 0.5
+        if self.hflip or spec["fliplr"] is not None:
+            flip_p = 0.5 if self.hflip else spec["fliplr"]["p"]
+            flip = jax.random.uniform(keys[5], (b,)) < flip_p
             forward = _hflip_matrix(flip, h, w) @ forward
         else:
             flip = jnp.zeros((b,), dtype=bool)
@@ -366,31 +528,37 @@ class AugmentationEngine:
         coords = jnp.einsum("bij,hwj->bhwi", R(inverse), grid)[..., :2]  # (B*T,H,W,2)
 
         # elastic displacement (reference augmentations.py:191-198)
-        if self.geometric:
-            apply_el = jax.random.uniform(keys[6], (b,)) < 0.5
-            alpha = jax.random.uniform(keys[7], (b,), minval=0.0, maxval=10.0)
+        if spec["elastic"] is not None:
+            alo, ahi = spec["elastic"]["alpha"]
+            apply_el = jax.random.uniform(keys[6], (b,)) < spec["elastic"]["p"]
+            alpha = jax.random.uniform(keys[7], (b,), minval=alo, maxval=ahi)
             alpha = jnp.where(apply_el, alpha, 0.0)
             raw = jax.random.uniform(keys[8], (b, h, w, 2), minval=-1.0, maxval=1.0)
-            disp = _separable_gaussian_blur(raw, sigma=5.0)
+            disp = _separable_gaussian_blur(raw, sigma=spec["elastic"]["sigma"])
             disp = disp * alpha[:, None, None, None]
             coords = coords + R(disp)
         else:
             disp = None
 
-        # motion blur taps (reference augmentations.py:151-157): 5 samples
+        # motion blur taps (reference augmentations.py:151-157): k samples
         # along the blur direction, averaged; direction zeroed when not applied
-        if self.is_dlc:
-            apply_mb = jax.random.uniform(keys[9], (b,)) < 0.5
+        if spec["motion_blur"] is not None:
+            mb = spec["motion_blur"]
+            ang = mb["angle"]
+            apply_mb = jax.random.uniform(keys[9], (b,)) < mb["p"]
             mb_angle = jax.random.uniform(
-                keys[10], (b,), minval=-90.0, maxval=90.0
+                keys[10], (b,), minval=-ang, maxval=ang
             ) * (np.pi / 180.0)
             dx = R(jnp.where(apply_mb, jnp.cos(mb_angle), 0.0))
             dy = R(jnp.where(apply_mb, jnp.sin(mb_angle), 0.0))
+            half = (int(mb["k"]) - 1) / 2.0
             taps = []
-            for tap in (-2.0, -1.0, 0.0, 1.0, 2.0):
+            tap = -half
+            while tap <= half:
                 offset = jnp.stack([dx * tap, dy * tap], axis=-1)[:, None, None, :]
                 taps.append(grid_sample_bilinear(images, coords + offset))
-            warped = sum(taps) / 5.0
+                tap += 1.0
+            warped = sum(taps) / len(taps)
         else:
             warped = grid_sample_bilinear(images, coords)
 
@@ -418,57 +586,68 @@ class AugmentationEngine:
         )
         kp_new = jnp.where(nan_mask | oob, jnp.nan, kp_new)
 
-        if not self.is_dlc:
-            if t > 1:
-                warped = warped.reshape(bsz, t, h, w, -1)
-            return warped, kp_new
-
         # ---- photometric stack ----
         out = warped
-        # CoarseDropout p=0.5: 2% of pixels at 30% scale, per_channel 0.5
-        apply_cd = R(jax.random.uniform(keys[11], (b,)) < 0.5)
-        mask1 = R(_coarse_mask(keys[12], b, h, w, 0.02, 0.3))
-        per_ch = R(jax.random.uniform(keys[13], (b,)) < 0.5)
-        mask_c = R(
-            jnp.concatenate(
-                [_coarse_mask(keys[14 + i], b, h, w, 0.02, 0.3) for i in range(3)],
-                axis=-1,
+        if spec["coarse_dropout"] is not None:
+            cd = spec["coarse_dropout"]
+            apply_cd = R(jax.random.uniform(keys[11], (b,)) < cd["p"])
+            mask1 = R(_coarse_mask(keys[12], b, h, w, cd["drop"], cd["size"]))
+            per_ch = R(jax.random.uniform(keys[13], (b,)) < cd["per_channel"])
+            mask_c = R(
+                jnp.concatenate(
+                    [
+                        _coarse_mask(keys[14 + i], b, h, w, cd["drop"], cd["size"])
+                        for i in range(3)
+                    ],
+                    axis=-1,
+                )
             )
-        )
-        drop_mask = jnp.where(per_ch[:, None, None, None], mask_c, mask1)
-        keep = jnp.where(apply_cd[:, None, None, None], drop_mask, True)
-        out = out * keep
+            drop_mask = jnp.where(per_ch[:, None, None, None], mask_c, mask1)
+            keep = jnp.where(apply_cd[:, None, None, None], drop_mask, True)
+            out = out * keep
 
-        # CoarseSalt / CoarsePepper p=0.5 each: 1% at 5-10% scale
-        apply_salt = R(jax.random.uniform(keys[17], (b,)) < 0.5)
-        salt = R(~_coarse_mask(keys[18], b, h, w, 0.01, 0.075))
-        out = jnp.where(apply_salt[:, None, None, None] & salt, 255.0, out)
-        apply_pep = R(jax.random.uniform(keys[19], (b,)) < 0.5)
-        pep = R(~_coarse_mask(keys[20], b, h, w, 0.01, 0.075))
-        out = jnp.where(apply_pep[:, None, None, None] & pep, 0.0, out)
+        if spec["coarse_salt"] is not None:
+            cs = spec["coarse_salt"]
+            apply_salt = R(jax.random.uniform(keys[17], (b,)) < cs["p"])
+            salt = R(~_coarse_mask(keys[18], b, h, w, cs["drop"], cs["size"]))
+            out = jnp.where(apply_salt[:, None, None, None] & salt, 255.0, out)
+        if spec["coarse_pepper"] is not None:
+            cp = spec["coarse_pepper"]
+            apply_pep = R(jax.random.uniform(keys[19], (b,)) < cp["p"])
+            pep = R(~_coarse_mask(keys[20], b, h, w, cp["drop"], cp["size"]))
+            out = jnp.where(apply_pep[:, None, None, None] & pep, 0.0, out)
 
-        # histogram equalization p=0.1
-        apply_he = R(jax.random.uniform(keys[21], (b,)) < 0.1)
-        eq = _equalize_hist(out)
-        out = jnp.where(apply_he[:, None, None, None], eq, out)
+        if spec["histeq"] is not None:
+            apply_he = R(jax.random.uniform(keys[21], (b,)) < spec["histeq"]["p"])
+            eq = _equalize_hist(out)
+            out = jnp.where(apply_he[:, None, None, None], eq, out)
 
-        # CLAHE-ish p=0.1: clip-limited global equalization
-        apply_cl = R(jax.random.uniform(keys[22], (b,)) < 0.1)
-        clip = R(jax.random.uniform(keys[22], (b,), minval=1.0, maxval=8.0))
-        cl = _equalize_hist(out, clip_limit=clip)
-        out = jnp.where(apply_cl[:, None, None, None], cl, out)
+        if spec["clahe"] is not None:
+            clo, chi = spec["clahe"]["clip"]
+            apply_cl = R(jax.random.uniform(keys[22], (b,)) < spec["clahe"]["p"])
+            clip = R(jax.random.uniform(keys[22], (b,), minval=clo, maxval=chi))
+            cl = _equalize_hist(out, clip_limit=clip)
+            out = jnp.where(apply_cl[:, None, None, None], cl, out)
 
-        # emboss p=0.1, alpha (0, 0.5), strength (0.5, 1.5)
-        apply_em = jax.random.uniform(keys[23], (b,)) < 0.1
-        em_alpha = R(
-            jnp.where(
-                apply_em,
-                jax.random.uniform(keys[23], (b,), minval=0.0, maxval=0.5),
-                0.0,
+        if spec["emboss"] is not None:
+            em = spec["emboss"]
+            apply_em = jax.random.uniform(keys[23], (b,)) < em["p"]
+            em_alpha = R(
+                jnp.where(
+                    apply_em,
+                    jax.random.uniform(
+                        keys[23], (b,), minval=em["alpha"][0], maxval=em["alpha"][1]
+                    ),
+                    0.0,
+                )
             )
-        )
-        em_strength = R(jax.random.uniform(keys[23], (b,), minval=0.5, maxval=1.5))
-        out = _emboss(out, em_alpha, em_strength)
+            em_strength = R(
+                jax.random.uniform(
+                    keys[23], (b,), minval=em["strength"][0],
+                    maxval=em["strength"][1],
+                )
+            )
+            out = _emboss(out, em_alpha, em_strength)
 
         if t > 1:
             out = out.reshape(bsz, t, h, w, -1)
