@@ -248,9 +248,10 @@ class Model:
         compute_metrics: bool = True,
         generate_labeled_video: bool = False,
         output_dir: str | Path | None = None,
+        bbox_df=None,
     ):
         """Predict a video; write video_preds/<stem>.csv
-        (reference model.py:1139)."""
+        (reference model.py:1139). ``bbox_df`` enables bbox-crop inference."""
         self._load()
         from lightning_pose_tpu.utils.video_predictions import predict_video
 
@@ -266,6 +267,7 @@ class Model:
             preds_file=preds_file,
             generate_labeled_video=generate_labeled_video,
             compute_metrics=compute_metrics,
+            bbox_df=bbox_df,
         )
 
     def predict_on_video_file_multiview(

@@ -40,6 +40,11 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
         "--compile", action="store_true",
         help="eagerly compile the prediction program before running",
     )
+    p.add_argument(
+        "--bbox_dir", type=Path, default=None,
+        help="directory of per-video <stem>_bbox.csv files for bbox-crop "
+        "inference (the cropzoom pipeline)",
+    )
     return p
 
 
@@ -67,10 +72,20 @@ def _predict_one(model, input_path: Path, args: argparse.Namespace) -> None:
         if preds_file.exists() and not args.overwrite:
             logger.info(f"skipping {input_path} (predictions exist; use --overwrite)")
             return
+        bbox_df = None
+        if args.bbox_dir is not None:
+            import pandas as pd
+
+            bbox_file = args.bbox_dir / (input_path.stem + "_bbox.csv")
+            if bbox_file.exists():
+                bbox_df = pd.read_csv(bbox_file, index_col=0)
+            else:
+                logger.warning(f"no bbox file {bbox_file}; full-frame predict")
         model.predict_on_video_file(
             input_path,
             generate_labeled_video=not args.skip_viz,
             output_dir=args.output_dir,
+            bbox_df=bbox_df,
         )
     elif input_path.suffix == ".csv":
         preds_file = model.image_preds_dir() / input_path.name / "predictions.csv"

@@ -103,7 +103,11 @@ class PredictVideoLoader:
         resize_width: int,
         do_context: bool = False,
         prefetch_batches: int = 3,
+        bbox_df=None,
     ):
+        """``bbox_df``: optional per-frame [x, y, h, w] DataFrame — bbox-crop
+        mode decodes at full resolution and crops+resizes each frame
+        (reference dali.py:332-396); batches then carry per-frame bboxes."""
         self.video_file = str(video_file)
         self.seq_len = int(sequence_length)
         self.h = int(resize_height)
@@ -111,6 +115,7 @@ class PredictVideoLoader:
         self.do_context = do_context
         self.prefetch_batches = prefetch_batches
         self.frame_count = count_frames(self.video_file)
+        self.bbox_df = bbox_df
         # context windows step by seq_len - 4 (reference dali.py:636-651)
         self.step = self.seq_len - 4 if do_context else self.seq_len
 
@@ -124,6 +129,45 @@ class PredictVideoLoader:
         from lightning_pose_tpu import native
 
         decoder = VideoFrameDecoder(self.video_file, self.h, self.w)
+
+        def convert(raw_frames: list[np.ndarray], start_idx: int) -> np.ndarray:
+            stacked = np.stack(raw_frames)
+            if self.bbox_df is None:
+                return native.batch_resize_rgb(
+                    stacked, self.h, self.w, swap_rb=True
+                )
+            # bbox-crop mode: per-frame crop+resize (reference dali.py:332-396)
+            n = stacked.shape[0]
+            idx = np.minimum(
+                np.arange(start_idx, start_idx + n), len(self.bbox_df) - 1
+            )
+            boxes = self.bbox_df[["x", "y", "h", "w"]].to_numpy()[idx].astype(
+                np.int32
+            )
+            lib = native.get_lib()
+            out = np.empty((n, self.h, self.w, 3), dtype=np.uint8)
+            if lib is not None:
+                lib.batch_crop_resize_rgb(
+                    np.ascontiguousarray(stacked).ctypes.data, n,
+                    stacked.shape[1], stacked.shape[2],
+                    np.ascontiguousarray(boxes).ctypes.data,
+                    out.ctypes.data, self.h, self.w, 1,
+                    native.num_worker_threads(),
+                )
+            else:
+                for i in range(n):
+                    x, y, bh, bw = boxes[i]
+                    crop = np.zeros((bh, bw, 3), dtype=np.uint8)
+                    x0, y0 = max(x, 0), max(y, 0)
+                    x1 = min(x + bw, stacked.shape[2])
+                    y1 = min(y + bh, stacked.shape[1])
+                    if x1 > x0 and y1 > y0:
+                        crop[y0 - y:y1 - y, x0 - x:x1 - x] = stacked[i, y0:y1, x0:x1]
+                    out[i] = cv2.resize(
+                        cv2.cvtColor(crop, cv2.COLOR_BGR2RGB), (self.w, self.h)
+                    )
+            return out
+
         try:
             if not self.do_context:
                 # decode raw BGR frames sequentially (the codec is serial),
@@ -131,6 +175,7 @@ class PredictVideoLoader:
                 # call parallelized across frames
                 last_frame = None
                 batch = []
+                frame_idx = 0
                 while True:
                     frame = decoder.read_raw()
                     if frame is None:
@@ -138,22 +183,15 @@ class PredictVideoLoader:
                     last_frame = frame
                     batch.append(frame)
                     if len(batch) == self.seq_len:
-                        q.put(
-                            native.batch_resize_rgb(
-                                np.stack(batch), self.h, self.w, swap_rb=True
-                            )
-                        )
+                        q.put(convert(batch, frame_idx))
+                        frame_idx += len(batch)
                         batch = []
                 if batch:
                     # FILL policy: repeat the final frame (reference
                     # dali.py:699-760)
                     while len(batch) < self.seq_len:
                         batch.append(last_frame)
-                    q.put(
-                        native.batch_resize_rgb(
-                            np.stack(batch), self.h, self.w, swap_rb=True
-                        )
-                    )
+                    q.put(convert(batch, frame_idx))
             else:
                 # overlapping windows: keep a rolling buffer
                 frames: list[np.ndarray] = []

@@ -551,6 +551,41 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
+    # optional pretrained-backbone port from a local torch checkpoint
+    # (replaces the reference's torchvision/MMPose downloads,
+    # reference backbones/factory.py:238-334)
+    bb_ckpt = cfg.model.get("backbone_checkpoint")
+    if bb_ckpt and os.path.isfile(str(bb_ckpt)) and str(
+        cfg.model.backbone
+    ).startswith(("resnet",)):
+        from lightning_pose_tpu.models.backbones.resnet import RESNET_CONFIGS
+        from lightning_pose_tpu.models.backbones.torch_port import (
+            load_torch_checkpoint,
+            port_resnet_state_dict,
+        )
+
+        arch = (
+            "resnet50"
+            if str(cfg.model.backbone).startswith("resnet50_")
+            else str(cfg.model.backbone)
+        )
+        stage_sizes, bottleneck, _ = RESNET_CONFIGS[arch]
+        sd = load_torch_checkpoint(str(bb_ckpt))
+        bb_params, bb_stats = port_resnet_state_dict(
+            sd, tuple(stage_sizes), bottleneck
+        )
+        import flax.serialization
+
+        params = dict(params)
+        params["backbone"] = flax.serialization.from_state_dict(
+            params["backbone"], bb_params
+        )
+        batch_stats = dict(batch_stats)
+        batch_stats["backbone"] = flax.serialization.from_state_dict(
+            batch_stats["backbone"], bb_stats
+        )
+        logger.info(f"loaded pretrained backbone weights from {bb_ckpt}")
+
     # optional warm-start (reference models/factory.py:211-229)
     if cfg.model.get("checkpoint"):
         ckpt = ckpt_utils.load_checkpoint(cfg.model.checkpoint)

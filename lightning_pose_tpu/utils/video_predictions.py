@@ -20,7 +20,7 @@ from lightning_pose_tpu.utils.predictions import PredictionHandler
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["predict_video", "generate_labeled_video"]
+__all__ = ["predict_video", "predict_video_multiview", "generate_labeled_video"]
 
 
 def predict_video(
@@ -33,9 +33,16 @@ def predict_video(
     preds_file: str | None = None,
     generate_labeled_video: bool = False,
     compute_metrics: bool = True,
+    bbox_df=None,
 ) -> "np.ndarray":
     """Run inference on one video; write ``video_preds/<stem>.csv`` (+
-    optional labeled mp4 + metric side CSVs)."""
+    optional labeled mp4 + metric side CSVs).
+
+    ``bbox_df``: optional per-frame [x, y, h, w] DataFrame for bbox-crop
+    inference (the detector->pose cropzoom path, reference dali.py:332-396);
+    predictions are remapped through the per-frame bboxes back to original
+    coords.
+    """
     do_context = cfg.model.model_type == "heatmap_mhcrnn"
     seq_key = "context" if do_context else "base"
     seq_len = int(cfg.dali[seq_key]["predict"]["sequence_length"])
@@ -48,28 +55,42 @@ def predict_video(
         resize_height=height,
         resize_width=width,
         do_context=do_context,
+        bbox_df=bbox_df,
     )
 
     # predictions are remapped to original video resolution via a full-frame
-    # bbox, matching the reference's DALI batch bbox (reference dali.py
-    # _dali_output_to_tensors)
+    # bbox (or the per-frame crop bboxes), matching the reference's DALI
+    # batch bbox (reference dali.py _dali_output_to_tensors)
     import cv2
 
     cap = cv2.VideoCapture(str(video_file))
     orig_h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     orig_w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     cap.release()
-    bbox = np.tile(
+    if bbox_df is not None:
+        bbox_rows = bbox_df[["x", "y", "h", "w"]].to_numpy().astype(np.float32)
+    else:
+        bbox_rows = None
+    full_bbox = np.tile(
         np.array([0.0, 0.0, orig_h, orig_w], dtype=np.float32), (seq_len, 1)
     )
+
+    def batch_bbox(i: int) -> np.ndarray:
+        if bbox_rows is None:
+            return full_bbox
+        start = i * loader.step
+        idx = np.minimum(
+            np.arange(start, start + seq_len), len(bbox_rows) - 1
+        )
+        return bbox_rows[idx]
 
     t0 = time.time()
     # dispatch all batches asynchronously (device work overlaps host
     # decode), then fetch results at the end — one pipeline, no per-batch
     # host sync
     device_preds = []
-    for batch in loader:
-        kp, conf = predict_fn(state, batch, bbox)
+    for i, batch in enumerate(loader):
+        kp, conf = predict_fn(state, batch, batch_bbox(i))
         device_preds.append((kp, conf))
     preds = [(np.asarray(kp), np.asarray(conf)) for kp, conf in device_preds]
     elapsed = time.time() - t0
@@ -207,6 +228,26 @@ def predict_video_multiview(
             except Exception as e:
                 logger.warning(f"labeled video failed ({view_name}): {e}")
     return out
+
+
+def generate_labeled_video(
+    video_file: str,
+    preds_df_file: str,
+    output_mp4: str,
+    confidence_thresh: float = 0.9,
+    colormap: str = "cool",
+    dotsize: int = 4,
+) -> None:
+    """Public labeled-video overlay entry point
+    (reference predictions.py:714)."""
+    _create_labeled_video(
+        video_file=video_file,
+        preds_df_file=preds_df_file,
+        output_mp4=output_mp4,
+        confidence_thresh=confidence_thresh,
+        colormap=colormap,
+        dotsize=dotsize,
+    )
 
 
 def _make_cmap(n: int, cmap: str) -> np.ndarray:
