@@ -302,7 +302,39 @@ def make_step_fns(
         if is_multiview:
             imgs = batch["images"]  # (B, V, H, W, 3)
             bsz = imgs.shape[0]
-            kp = batch["keypoints"].reshape(bsz * num_views, -1, 2)
+            kp_model = batch["keypoints"]
+            # 3D scale/translate augmentation for calibrated batches
+            # (reference datasets.py:825-1120)
+            if "intrinsic_matrix" in batch and not augmenter.identity:
+                from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+                bbox_views = batch["bbox"].reshape(bsz, num_views, 4)
+                sx = width / bbox_views[..., 3]
+                sy = height / bbox_views[..., 2]
+                zeros = jnp.zeros_like(sx)
+                ones = jnp.ones_like(sx)
+                frame_to_model = jnp.stack(
+                    [
+                        jnp.stack([sx, zeros, -bbox_views[..., 0] * sx], axis=-1),
+                        jnp.stack([zeros, sy, -bbox_views[..., 1] * sy], axis=-1),
+                        jnp.stack([zeros, zeros, ones], axis=-1),
+                    ],
+                    axis=-2,
+                )
+                kp_frame = bboxes_mod.model_to_frame_batch(
+                    kp_model.reshape(bsz, -1), batch["bbox"], width, height,
+                    num_views=num_views,
+                ).reshape(bsz, -1, 2)
+                imgs, kp_model = apply_3d_transforms(
+                    jax.random.fold_in(aug_rng, 3),
+                    imgs.astype(jnp.float32),
+                    kp_frame,
+                    batch["intrinsic_matrix"].astype(jnp.float32),
+                    batch["extrinsic_matrix"].astype(jnp.float32),
+                    batch["distortions"].astype(jnp.float32),
+                    frame_to_model=frame_to_model,
+                )
+            kp = kp_model.reshape(bsz * num_views, -1, 2)
             imgs_flat = imgs.reshape(bsz * num_views, *imgs.shape[2:])
             imgs_aug, kp_aug = augmenter(aug_rng, imgs_flat, kp)
             # curriculum patch masking for the multiview transformer

@@ -1,0 +1,155 @@
+"""Tests for JAX camera geometry + 3D augmentation."""
+
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.data import cameras
+
+
+def _synthetic_rig(n_views=3):
+    """Cameras on a circle looking at the origin."""
+    intr, extr = [], []
+    for i in range(n_views):
+        angle = 2 * np.pi * i / n_views * 0.2
+        k = np.array([[500.0, 0, 200], [0, 500.0, 200], [0, 0, 1]], np.float32)
+        c, s = np.cos(angle), np.sin(angle)
+        r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = np.array([0.1 * i, 0.0, 5.0], np.float32)
+        intr.append(k)
+        extr.append(np.concatenate([r, t[:, None]], axis=1).astype(np.float32))
+    dist = np.zeros((n_views, 5), np.float32)
+    return np.stack(intr), np.stack(extr), dist
+
+
+def _project(pts3d, intr, extr):
+    homog = np.concatenate([pts3d, np.ones_like(pts3d[:, :1])], axis=1)
+    cam = homog @ extr.T
+    xy = cam[:, :2] / cam[:, 2:3]
+    return xy * [intr[0, 0], intr[1, 1]] + [intr[0, 2], intr[1, 2]]
+
+
+def test_triangulation_roundtrip(rng):
+    intr, extr, dist = _synthetic_rig(3)
+    pts3d = rng.uniform(-0.5, 0.5, size=(6, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(3)], axis=0)
+    # batch of 1
+    out = np.asarray(
+        cameras.project_camera_pairs_to_3d(
+            pts2d[None].transpose(0, 1, 2, 3),
+            intr[None],
+            extr[None],
+            dist[None],
+        )
+    )  # (1, pairs, K, 3)
+    assert out.shape == (1, 3, 6, 3)
+    for p in range(3):
+        np.testing.assert_allclose(out[0, p], pts3d, atol=1e-2)
+
+
+def test_project_3d_to_2d_matches_manual(rng):
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.5, 0.5, size=(5, 3)).astype(np.float32)
+    out = np.asarray(
+        cameras.project_3d_to_2d(pts3d[None], intr[None], extr[None], dist[None])
+    )[0]
+    for v in range(2):
+        np.testing.assert_allclose(out[v], _project(pts3d, intr[v], extr[v]), atol=1e-2)
+
+
+def test_distort_undistort_roundtrip(rng):
+    import jax.numpy as jnp
+
+    intr = np.array([[500.0, 0, 200], [0, 500.0, 200], [0, 0, 1]], np.float32)
+    dist = np.array([0.1, -0.05, 0.001, 0.002, 0.01], np.float32)
+    pts = rng.uniform(100, 300, size=(10, 2)).astype(np.float32)
+    distorted = cameras.distort_points(jnp.asarray(pts), jnp.asarray(intr), jnp.asarray(dist))
+    recovered = cameras.undistort_points(distorted, jnp.asarray(intr), jnp.asarray(dist))
+    np.testing.assert_allclose(np.asarray(recovered), pts, atol=0.05)
+
+
+def test_triangulate_fast(rng):
+    intr, extr, dist = _synthetic_rig(3)
+    pts3d = rng.uniform(-0.5, 0.5, size=(4, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(3)])
+    frames = np.tile(pts2d[None], (2, 1, 1, 1))  # 2 frames
+    out = cameras.triangulate_fast(frames, intr, extr, dist)
+    assert out.shape == (2, 4, 3)
+    np.testing.assert_allclose(out[0], pts3d, atol=1e-2)
+
+
+def test_fit_similarity_transform(rng):
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import fit_similarity_transform
+
+    src = rng.uniform(0, 100, size=(8, 2)).astype(np.float32)
+    theta, scale, t = 0.3, 1.2, np.array([5.0, -3.0])
+    rot = scale * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    dst = src @ rot.T + t
+    m = np.asarray(fit_similarity_transform(jnp.asarray(src), jnp.asarray(dst)))
+    recovered = src @ m[:2, :2].T + m[:2, 2]
+    np.testing.assert_allclose(recovered, dst, atol=1e-3)
+    # NaN pairs are ignored
+    src_nan = src.copy(); src_nan[0] = np.nan
+    m2 = np.asarray(
+        fit_similarity_transform(jnp.asarray(src_nan), jnp.asarray(dst))
+    )
+    np.testing.assert_allclose(m2, m, atol=1e-3)
+
+
+def test_apply_3d_transforms_identity(rng):
+    """scale=1, translate=0 must leave keypoints (and images) unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 10, 2).astype(np.float32)
+    images = rng.uniform(0, 255, size=(1, 2, 64, 64, 3)).astype(np.float32)
+
+    out_img, out_kp = apply_3d_transforms(
+        jax.random.PRNGKey(0),
+        jnp.asarray(images),
+        jnp.asarray(kp_frame),
+        jnp.asarray(intr[None]),
+        jnp.asarray(extr[None]),
+        jnp.asarray(dist[None]),
+        scale_range=(1.0, 1.0),
+        translate_range=0.0,
+        apply_prob=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(out_kp), kp_frame, atol=0.1)
+
+
+def test_apply_3d_transforms_scales_keypoints(rng):
+    """A pure scale perturbation moves reprojections coherently."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 10, 2).astype(np.float32)
+    images = rng.uniform(0, 255, size=(1, 2, 64, 64, 3)).astype(np.float32)
+
+    out_img, out_kp = apply_3d_transforms(
+        jax.random.PRNGKey(1),
+        jnp.asarray(images),
+        jnp.asarray(kp_frame),
+        jnp.asarray(intr[None]),
+        jnp.asarray(extr[None]),
+        jnp.asarray(dist[None]),
+        scale_range=(1.3, 1.3),
+        translate_range=0.0,
+        apply_prob=1.0,
+    )
+    moved = np.abs(np.asarray(out_kp) - kp_frame)
+    assert moved.max() > 0.5  # keypoints moved
+    assert np.isfinite(np.asarray(out_kp)).all()
