@@ -129,8 +129,11 @@ class BaseDataModule:
 
     # -- iterators --------------------------------------------------------------
 
-    def train_batches(self, epoch: int, steps: int | None = None) -> Iterator[dict]:
-        """Shuffled, padded train batches; reshuffled each epoch (seeded)."""
+    def train_index_batches(
+        self, epoch: int, steps: int | None = None
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Shuffled (dataset-index, valid-mask) batches; reshuffled each
+        epoch (seeded). Padding rows repeat the last index with valid=False."""
         rng = np.random.default_rng(self.torch_seed + 1 + epoch)
         order = rng.permutation(self.train_dataset.indices)
         bs = self.train_batch_size
@@ -143,7 +146,13 @@ class BaseDataModule:
                 chunk = order[b * bs:(b + 1) * bs]
                 if len(chunk) == 0:
                     chunk = order[:bs]
-                yield collate_batch(self.dataset, chunk, bs)
+                n = len(chunk)
+                if n < bs:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], bs - n)]
+                    )
+                valid = np.array([True] * n + [False] * (bs - n))
+                yield chunk.astype(np.int32), valid
                 count += 1
             if steps is None or count >= (steps or n_batches):
                 return
@@ -151,6 +160,13 @@ class BaseDataModule:
             # (reference train.py:79-82 min-10 floor); rewrap with a fresh
             # shuffle
             order = rng.permutation(self.train_dataset.indices)
+
+    def train_batches(self, epoch: int, steps: int | None = None) -> Iterator[dict]:
+        """Shuffled, padded train batches; reshuffled each epoch (seeded)."""
+        bs = self.train_batch_size
+        for idxs, valid in self.train_index_batches(epoch, steps=steps):
+            batch = collate_batch(self.dataset, idxs[valid], bs)
+            yield batch
 
     def _eval_batches(self, split: Split, bs: int) -> Iterator[dict]:
         idx = split.indices

@@ -498,10 +498,24 @@ def make_step_fns(
         )
         return preds, confs
 
+    def train_step_cached(state, cache, idxs, valid, rng, unlabeled):
+        """Train step over a device-resident labeled-data cache: only the
+        batch indices cross the host-device boundary (TPU-first: small
+        labeled datasets live in HBM for the whole run)."""
+        batch = {k: jnp.take(v, idxs, axis=0) for k, v in cache.items()}
+        batch["visibility"] = jnp.where(
+            valid[:, None], batch["visibility"], 0
+        )
+        batch["valid"] = valid
+        if unlabeled:
+            batch["unlabeled"] = unlabeled
+        return train_step(state, batch, rng)
+
     return (
         jax.jit(train_step, donate_argnums=0),
         jax.jit(eval_step, static_argnames="stage"),
         jax.jit(predict_step),
+        jax.jit(train_step_cached, donate_argnums=0),
     )
 
 
@@ -654,9 +668,33 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         hflip_swap_indices=dataset.hflip_swap_indices,
     )
 
-    train_step, eval_step, predict_step = make_step_fns(
+    train_step, eval_step, predict_step, train_step_cached = make_step_fns(
         module, meta, loss_factories, augmenter, cfg, tx, steps_per_epoch
     )
+
+    # ---- device-resident labeled-data cache: when the whole labeled set
+    # fits comfortably in HBM (it usually does — pose datasets are a few
+    # hundred frames), park it there once and send only batch indices each
+    # step. Eliminates the per-step host->device image transfer entirely.
+    device_cache = None
+    if bool(cfg.training.get("cache_labeled_data_on_device", True)):
+        sample0 = dataset[0]
+        est_bytes = len(dataset) * sum(
+            np.asarray(sample0[k]).nbytes
+            for k in ("images", "keypoints", "visibility", "bbox")
+        )
+        if est_bytes < 2 * 1024**3:
+            arrays = {"images": [], "keypoints": [], "visibility": [], "bbox": []}
+            for i in range(len(dataset)):
+                s = dataset[i]
+                for k in arrays:
+                    arrays[k].append(np.asarray(s[k]))
+            host_cache = {k: np.stack(v) for k, v in arrays.items()}
+            device_cache = replicate(mesh, host_cache)
+            logger.info(
+                f"cached {len(dataset)} labeled samples "
+                f"({est_bytes / 1e6:.0f} MB) on device"
+            )
 
     # ---- logging + dirs (reference train.py:349-383)
     cfg.save(str(model_dir / "config.yaml"))
@@ -707,9 +745,31 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     )
 
     for epoch in range(max_epochs):
-        for batch in data_module.train_batches(epoch, steps=steps_per_epoch):
-            device_batch = shard_batch(mesh, batch)
-            state, logs = train_step(state, device_batch, data_rng)
+        if device_cache is not None:
+            batch_iter = data_module.train_index_batches(
+                epoch, steps=steps_per_epoch
+            )
+        else:
+            batch_iter = data_module.train_batches(epoch, steps=steps_per_epoch)
+        for item in batch_iter:
+            if device_cache is not None:
+                idxs, valid = item
+                unlabeled = {}
+                if hasattr(data_module, "unlabeled_loader"):
+                    unlabeled = shard_batch(
+                        mesh, next(data_module.unlabeled_loader)
+                    )
+                state, logs = train_step_cached(
+                    state,
+                    device_cache,
+                    shard_batch(mesh, idxs),
+                    shard_batch(mesh, valid),
+                    data_rng,
+                    unlabeled,
+                )
+            else:
+                device_batch = shard_batch(mesh, item)
+                state, logs = train_step(state, device_batch, data_rng)
             global_step += 1
             if writer is not None and global_step % log_every == 0:
                 for k, v in logs.items():
