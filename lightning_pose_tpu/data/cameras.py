@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "CameraGroup",
     "triangulate_pair",
     "project_camera_pairs_to_3d",
     "project_3d_to_2d",
@@ -169,6 +170,61 @@ def project_3d_to_2d(
         return jax.vmap(per_view)(intr, extr, dst)
 
     return jax.vmap(one)(points_3d, intrinsics, extrinsics, dist)
+
+
+class CameraGroup:
+    """Convenience bundle of per-view camera parameters
+    (reference cameras.py:174 extends aniposelib's CameraGroup).
+
+    Holds (V, 3, 3) intrinsics, (V, 3, 4) extrinsics, (V, 5) distortions
+    and exposes the fast host triangulation plus differentiable
+    projection helpers bound to these cameras.
+    """
+
+    def __init__(
+        self, intrinsics: np.ndarray, extrinsics: np.ndarray, distortions: np.ndarray
+    ) -> None:
+        self.intrinsics = np.asarray(intrinsics, dtype=np.float32)
+        self.extrinsics = np.asarray(extrinsics, dtype=np.float32)
+        self.distortions = np.asarray(distortions, dtype=np.float32)
+        assert self.intrinsics.shape[1:] == (3, 3)
+        assert self.extrinsics.shape[1:] == (3, 4)
+        assert self.distortions.shape[1:] == (5,)
+
+    @property
+    def num_views(self) -> int:
+        return self.intrinsics.shape[0]
+
+    @classmethod
+    def from_dict(cls, params: dict) -> "CameraGroup":
+        return cls(params["intrinsics"], params["extrinsics"], params["distortions"])
+
+    def triangulate_fast(self, points: np.ndarray) -> np.ndarray:
+        """(frames, views, keypoints, 2) -> (frames, keypoints, 3) via
+        nanmedian over camera pairs (reference cameras.py:177)."""
+        return triangulate_fast(
+            points, self.intrinsics, self.extrinsics, self.distortions
+        )
+
+    def triangulate_pairs(self, points: jax.Array) -> jax.Array:
+        """Differentiable pairwise triangulation bound to these cameras."""
+        b = points.shape[0]
+        return project_camera_pairs_to_3d(
+            points,
+            jnp.broadcast_to(jnp.asarray(self.intrinsics), (b, self.num_views, 3, 3)),
+            jnp.broadcast_to(jnp.asarray(self.extrinsics), (b, self.num_views, 3, 4)),
+            jnp.broadcast_to(jnp.asarray(self.distortions), (b, self.num_views, 5)),
+        )
+
+    def project(self, points_3d: jax.Array) -> jax.Array:
+        """Differentiable 3D -> 2D projection bound to these cameras."""
+        b = points_3d.shape[0]
+        return project_3d_to_2d(
+            points_3d,
+            jnp.broadcast_to(jnp.asarray(self.intrinsics), (b, self.num_views, 3, 3)),
+            jnp.broadcast_to(jnp.asarray(self.extrinsics), (b, self.num_views, 3, 4)),
+            jnp.broadcast_to(jnp.asarray(self.distortions), (b, self.num_views, 5)),
+        )
 
 
 def triangulate_fast(

@@ -1,0 +1,125 @@
+"""CLI tests: parser registration, cropzoom commands, e2e train+predict."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lightning_pose_tpu.cli.main import build_parser, main
+
+
+def test_all_commands_registered():
+    parser = build_parser()
+    for cmd in [
+        "train", "predict", "export", "create_bbox", "smooth_bbox",
+        "crop", "remap", "run_app",
+    ]:
+        args = parser.parse_args([cmd, *_minimal_args(cmd)])
+        assert args.command == cmd
+
+
+def _minimal_args(cmd: str) -> list[str]:
+    return {
+        "train": ["cfg.yaml"],
+        "predict": ["model_dir", "video.mp4"],
+        "export": ["model_dir"],
+        "create_bbox": ["preds.csv"],
+        "smooth_bbox": ["in_dir", "out_dir"],
+        "crop": ["video.mp4", "bbox.csv"],
+        "remap": ["preds.csv", "bbox.csv"],
+        "run_app": [],
+    }[cmd]
+
+
+def _write_preds_csv(path, n=20, keypoints=("a", "b")):
+    cols = pd.MultiIndex.from_product(
+        [["t"], list(keypoints), ["x", "y", "likelihood"]],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    rng = np.random.default_rng(0)
+    arr = rng.uniform(50, 150, size=(n, len(keypoints) * 3))
+    pd.DataFrame(arr, columns=cols).to_csv(path)
+
+
+def test_create_smooth_remap_roundtrip(tmp_path):
+    preds = tmp_path / "session1.csv"
+    _write_preds_csv(preds)
+
+    main(["create_bbox", str(preds), "--crop_ratio", "1.5"])
+    bbox_file = tmp_path / "session1_bbox.csv"
+    assert bbox_file.exists()
+    bbox_df = pd.read_csv(bbox_file, index_col=0)
+    assert list(bbox_df.columns) == ["x", "y", "h", "w"]
+    assert (bbox_df["h"] % 2 == 0).all()  # even dims
+
+    out_dir = tmp_path / "smoothed"
+    main(["smooth_bbox", str(tmp_path), str(out_dir)])
+    assert (out_dir / "session1_bbox.csv").exists()
+    assert (out_dir / "metadata.json").exists()
+
+    # remap: subtract then add round-trips coordinates
+    from lightning_pose_tpu.utils.cropzoom import generate_cropped_csv_file
+
+    cropped = tmp_path / "cropped.csv"
+    generate_cropped_csv_file(preds, bbox_file, cropped, mode="subtract")
+    main(["remap", str(cropped), str(bbox_file), "--output_file",
+          str(tmp_path / "restored.csv")])
+    orig = pd.read_csv(preds, header=[0, 1, 2], index_col=0)
+    restored = pd.read_csv(tmp_path / "restored.csv", header=[0, 1, 2], index_col=0)
+    np.testing.assert_allclose(restored.to_numpy(), orig.to_numpy(), atol=1e-6)
+
+
+def test_crop_video_command(tmp_path, toy_data_dir):
+    import cv2
+
+    video = f"{toy_data_dir}/videos/test_vid.mp4"
+    # constant bbox for 10 frames
+    bbox_df = pd.DataFrame(
+        {"x": [50] * 10, "y": [60] * 10, "h": [100] * 10, "w": [100] * 10}
+    )
+    bbox_file = tmp_path / "bbox.csv"
+    bbox_df.to_csv(bbox_file)
+    out = tmp_path / "cropped.mp4"
+    main(["crop", video, str(bbox_file), "--output_path", str(out)])
+    assert out.exists()
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 100
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    cap.release()
+
+
+@pytest.mark.slow
+def test_cli_train_and_predict_e2e(tmp_path, toy_data_dir):
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        f"""
+data:
+  image_resize_dims: {{height: 128, width: 128}}
+  data_dir: {toy_data_dir}
+  video_dir: {toy_data_dir}/videos
+  csv_file: CollectedData.csv
+  num_keypoints: 17
+training:
+  imgaug: default
+  train_batch_size: 8
+  train_prob: 0.8
+  val_prob: 0.1
+  train_frames: 8
+  max_epochs: 1
+  min_epochs: 1
+  check_val_every_n_epoch: 1
+  unfreezing_epoch: 0
+model:
+  backbone: resnet18
+  model_type: heatmap
+  model_name: cli-e2e
+eval:
+  predict_vids_after_training: false
+"""
+    )
+    out_dir = tmp_path / "model"
+    assert main(["train", str(cfg_file), "--output_dir", str(out_dir)]) == 0
+    assert (out_dir / "predictions.csv").exists()
+
+    csv = f"{toy_data_dir}/CollectedData.csv"
+    assert main(["predict", str(out_dir), csv]) == 0
+    assert (out_dir / "image_preds" / "CollectedData.csv" / "predictions.csv").exists()

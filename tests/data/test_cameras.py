@@ -153,3 +153,15 @@ def test_apply_3d_transforms_scales_keypoints(rng):
     moved = np.abs(np.asarray(out_kp) - kp_frame)
     assert moved.max() > 0.5  # keypoints moved
     assert np.isfinite(np.asarray(out_kp)).all()
+
+
+def test_camera_group(rng):
+    intr, extr, dist = _synthetic_rig(2)
+    group = cameras.CameraGroup(intr, extr, dist)
+    assert group.num_views == 2
+    pts3d = rng.uniform(-0.3, 0.3, size=(3, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    out = np.asarray(group.triangulate_fast(pts2d[None]))
+    np.testing.assert_allclose(out[0], pts3d, atol=1e-2)
+    proj = np.asarray(group.project(pts3d[None]))
+    np.testing.assert_allclose(proj[0, 0], pts2d[0], atol=1e-2)
