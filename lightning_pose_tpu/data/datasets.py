@@ -80,6 +80,7 @@ class BaseTrackingDataset:
         bbox_path: str | None = None,
         imgaug_hflip: bool = False,
         cache_images: bool = True,
+        uniform_heatmaps_for_nan_keypoints: bool = False,
     ) -> None:
         self.root_directory = Path(root_directory)
         self.image_resize_height = int(image_resize_height)
@@ -88,6 +89,7 @@ class BaseTrackingDataset:
         self.imgaug_pipeline = imgaug_pipeline
         self.imgaug_hflip = imgaug_hflip
         self.cache_images = cache_images
+        self.uniform_heatmaps_for_nan_keypoints = uniform_heatmaps_for_nan_keypoints
 
         if os.path.isfile(csv_path):
             csv_file = csv_path
@@ -213,11 +215,14 @@ class BaseTrackingDataset:
         """
         img, (orig_h, orig_w) = self._load_resized(idx)
         kp = self.keypoints_resized(idx)
-        vis = (
-            self.visibility[idx]
-            if self.visibility is not None
-            else np.where(np.isnan(kp[:, 0]), 0, 2).astype(np.int64)
-        )
+        if self.visibility is not None:
+            vis = self.visibility[idx]
+        else:
+            # NaN labels become uniform-heatmap targets when configured
+            # (reference HeatmapDataset + cfg.training
+            # uniform_heatmaps_for_nan_keypoints)
+            nan_vis = 1 if self.uniform_heatmaps_for_nan_keypoints else 0
+            vis = np.where(np.isnan(kp[:, 0]), nan_vis, 2).astype(np.int64)
         if self.bboxes is not None:
             bbox = self.bboxes[idx]
         else:

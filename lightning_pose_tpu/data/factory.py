@@ -44,6 +44,9 @@ def get_dataset(cfg, data_dir: str, imgaug_pipeline=None):
         imgaug_pipeline=imgaug_pipeline,
         imgaug_hflip=bool(cfg.training.get("imgaug_hflip", False)),
         bbox_path=cfg.data.get("bbox_file", None),
+        uniform_heatmaps_for_nan_keypoints=bool(
+            cfg.training.get("uniform_heatmaps_for_nan_keypoints", False)
+        ),
     )
 
     if model_type == "regression":

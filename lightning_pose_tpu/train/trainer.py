@@ -209,7 +209,16 @@ def make_step_fns(
             # (reference heatmap_tracker_multiview.py:259-323)
             extra_kwargs = {}
             sup_names = loss_factories["supervised"].loss_instance_dict.keys()
-            if is_multiview and any(n.startswith("supervised_") for n in sup_names):
+            if any(n.startswith("supervised_") for n in sup_names) and (
+                not is_multiview or "intrinsic_matrix" not in extra_batch
+            ):
+                # configured 3D losses but no calibration in the batch:
+                # surface the losses' descriptive errors
+                # (reference losses.py:1252-1258)
+                extra_kwargs["keypoints_targ_3d"] = None
+                extra_kwargs["keypoints_pred_3d"] = None
+                extra_kwargs["keypoints_pred_2d_reprojected"] = None
+            elif is_multiview and any(n.startswith("supervised_") for n in sup_names):
                 from lightning_pose_tpu.data.cameras import (
                     project_3d_to_2d,
                     project_camera_pairs_to_3d,
@@ -287,14 +296,12 @@ def make_step_fns(
         return loss, new_stats, logs, heatmaps, preds, confidences
 
     def _effective_visibility(kp, visibility):
-        """Augmentation-induced NaNs drop out; original NaNs follow the
-        uniform_heatmaps_for_nan_keypoints flag (reference HeatmapDataset)."""
+        """Keypoints that augmentation pushed out of frame (NaN coords with
+        visibility 2) drop to 0; originally-NaN labels already carry the
+        uniform_heatmaps_for_nan_keypoints decision from the dataset
+        (reference HeatmapDataset)."""
         nan = jnp.isnan(kp[..., 0])
-        if uniform_nan:
-            vis = jnp.where(nan & (visibility == 2), 1, visibility)
-        else:
-            vis = jnp.where(nan, 0, visibility)
-        return vis
+        return jnp.where(nan & (visibility == 2), 0, visibility)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         epoch = state.step // steps_per_epoch
