@@ -1,0 +1,82 @@
+"""Tests for ModelConfig validation (reference tests/api/test_model_config.py)."""
+
+import pytest
+
+from lightning_pose_tpu.api.model_config import InvalidConfig, ModelConfig
+
+
+def test_valid_config_passes(cfg):
+    ModelConfig(cfg).validate()
+
+
+def test_resize_dims_must_be_multiple_of_128(cfg):
+    c = cfg.copy()
+    c.data.image_resize_dims.height = 100
+    with pytest.raises(InvalidConfig):
+        ModelConfig(c).validate()
+
+
+def test_keypoint_count_mismatch(cfg):
+    c = cfg.copy()
+    c.data.num_keypoints = 5
+    with pytest.raises(InvalidConfig):
+        ModelConfig(c).validate()
+
+
+def test_split_probabilities(cfg):
+    c = cfg.copy()
+    c.training.train_prob = 0.9
+    c.training.val_prob = 0.3
+    with pytest.raises(InvalidConfig):
+        ModelConfig(c).validate()
+
+
+def test_ckpt_divisibility(cfg):
+    c = cfg.copy()
+    c.training.check_val_every_n_epoch = 2
+    c.training.ckpt_every_n_epochs = 3
+    with pytest.raises(InvalidConfig):
+        ModelConfig(c).validate()
+
+
+def test_steps_xor_epochs(cfg):
+    c = cfg.copy()
+    c.training.max_steps = 100  # mixing with max_epochs
+    with pytest.raises(InvalidConfig):
+        ModelConfig(c).validate()
+
+    c2 = cfg.copy()
+    c2.training.max_epochs = None
+    c2.training.min_epochs = None
+    c2.training.unfreezing_epoch = None
+    with pytest.raises(InvalidConfig):  # neither mode set
+        ModelConfig(c2).validate()
+
+
+def test_invalid_model_type(cfg):
+    c = cfg.copy()
+    c.model.model_type = "not_a_model"
+    with pytest.raises(InvalidConfig):
+        ModelConfig(c).validate()
+
+
+def test_non_numeric_log_weight(cfg):
+    c = cfg.copy()
+    c.model.losses_to_use = ["temporal"]
+    c.losses.temporal.log_weight = "high"
+    with pytest.raises(InvalidConfig):
+        ModelConfig(c).validate()
+
+
+def test_multiview_single_entry_raises(cfg):
+    c = cfg.copy()
+    c.data.view_names = ["only_one"]
+    with pytest.raises(ValueError):
+        ModelConfig(c).is_multi_view()
+
+
+def test_multiview_detection(cfg):
+    c = cfg.copy()
+    assert ModelConfig(c).is_single_view()
+    c.data.view_names = ["a", "b"]
+    assert ModelConfig(c).is_multi_view()
