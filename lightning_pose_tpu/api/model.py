@@ -34,10 +34,16 @@ __all__ = ["Model"]
 class Model:
     """Lazy-loading high-level interface to a trained model directory."""
 
-    def __init__(self, model_dir: str | Path, config: ModelConfig) -> None:
+    def __init__(
+        self,
+        model_dir: str | Path,
+        config: ModelConfig,
+        precision: str | None = None,
+    ) -> None:
         self.model_dir = Path(model_dir)
         self.config = config
         self.cfg = config.cfg
+        self.precision = precision
         self._module = None
         self._meta = None
         self._state = None
@@ -46,19 +52,28 @@ class Model:
     # -- constructors ---------------------------------------------------------------
 
     @classmethod
-    def from_dir(cls, model_dir: str | Path) -> "Model":
+    def from_dir(
+        cls, model_dir: str | Path, precision: str | None = None
+    ) -> "Model":
         """Load from a model directory containing config.yaml
-        (reference model.py:291)."""
+        (reference model.py:291). ``precision``: fp32 | bf16 (default bf16;
+        fp16 maps to bf16 — TPUs have no fp16 units, reference
+        model.py:44-65 maps precision strings similarly)."""
         config_path = Path(model_dir) / "config.yaml"
         if not config_path.exists():
             raise FileNotFoundError(f"no config.yaml in {model_dir}")
         cfg = Config.from_yaml(str(config_path))
-        return cls(model_dir, ModelConfig(cfg))
+        return cls(model_dir, ModelConfig(cfg), precision=precision)
 
     @classmethod
-    def from_dir2(cls, model_dir: str | Path, hydra_overrides: list[str] | None = None):
+    def from_dir2(
+        cls,
+        model_dir: str | Path,
+        hydra_overrides: list[str] | None = None,
+        precision: str | None = None,
+    ):
         """Load with extra config overrides (reference model.py:339)."""
-        model = cls.from_dir(model_dir)
+        model = cls.from_dir(model_dir, precision=precision)
         if hydra_overrides:
             model.cfg.apply_overrides(hydra_overrides)
         return model
@@ -96,7 +111,18 @@ class Model:
 
         cfg = self.cfg
         num_keypoints = cfg.data.num_keypoints
-        module, meta = get_model(cfg, num_keypoints=num_keypoints)
+        precision = (self.precision or "bf16").lower()
+        if precision in ("fp16", "16", "bf16", "bfloat16", "16-mixed"):
+            compute_dtype = jnp.bfloat16
+            if precision in ("fp16", "16"):
+                logger.info("fp16 requested; using bfloat16 (TPU has no fp16)")
+        elif precision in ("fp32", "32", "float32"):
+            compute_dtype = jnp.float32
+        else:
+            raise ValueError(f"unknown precision {self.precision!r}")
+        module, meta = get_model(
+            cfg, num_keypoints=num_keypoints, compute_dtype=compute_dtype
+        )
         self._module = module
         self._meta = meta
 

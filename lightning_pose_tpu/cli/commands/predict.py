@@ -41,6 +41,10 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
         help="eagerly compile the prediction program before running",
     )
     p.add_argument(
+        "--precision", default=None, choices=["fp32", "fp16", "bf16"],
+        help="compute precision (default bf16; fp16 maps to bf16 on TPU)",
+    )
+    p.add_argument(
         "--bbox_dir", type=Path, default=None,
         help="directory of per-video <stem>_bbox.csv files for bbox-crop "
         "inference (the cropzoom pipeline)",
@@ -52,7 +56,10 @@ def handle(args: argparse.Namespace) -> None:
     from lightning_pose_tpu.api.model import Model
     from lightning_pose_tpu.utils.io import check_video_paths
 
-    model = Model.from_dir2(args.model_dir, hydra_overrides=list(args.overrides))
+    model = Model.from_dir2(
+        args.model_dir, hydra_overrides=list(args.overrides),
+        precision=args.precision,
+    )
     if args.compile:
         model.compile()
 
