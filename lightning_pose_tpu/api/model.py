@@ -449,3 +449,14 @@ class Model:
             f.write(exported.serialize())
         logger.info(f"exported serialized XLA program to {path}")
         return str(path)
+
+    @staticmethod
+    def load_exported(path: str | Path):
+        """Load a serialized XLA prediction program (the ORT-runtime analog,
+        reference model.py:469-594). Returns a callable
+        ``(images_uint8, bbox) -> (keypoints, confidences)``."""
+        from jax import export as jax_export
+
+        with open(path, "rb") as f:
+            exported = jax_export.deserialize(bytearray(f.read()))
+        return exported.call

@@ -140,7 +140,7 @@ def make_optimizer(cfg, steps_per_epoch: int, params) -> tuple[Any, Callable]:
         {"backbone": make_opt(bb_sched), "head": make_opt(head_sched)},
         label_fn(params),
     )
-    return tx, head_sched
+    return tx, head_sched, bb_sched
 
 
 # ------------------------------------------------------------------------------
@@ -651,7 +651,7 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         logger.info(f"warm-started from {cfg.model.checkpoint}")
 
     # ---- optimizer
-    tx, head_sched = make_optimizer(cfg, steps_per_epoch, params)
+    tx, head_sched, bb_sched = make_optimizer(cfg, steps_per_epoch, params)
     opt_state = tx.init(params)
     state = TrainState(
         step=jnp.asarray(0, dtype=jnp.int32),
@@ -782,6 +782,9 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                 for k, v in logs.items():
                     writer.add_scalar(k, float(v), global_step)
                 writer.add_scalar("lr-head", float(head_sched(global_step)), global_step)
+                writer.add_scalar(
+                    "lr-backbone", float(bb_sched(global_step)), global_step
+                )
                 writer.add_scalar("epoch", epoch, global_step)
 
         progress.update(epoch)
