@@ -28,7 +28,9 @@ def main() -> None:
     from lightning_pose_tpu.ops.preprocess import normalize_images
     from lightning_pose_tpu.data import bboxes as bboxes_mod
 
-    seq_len = 64
+    # 128-frame windows amortize per-call overhead best on v5e (the
+    # reference likewise tunes seq_len per device, mixed_precision.rst)
+    seq_len = 128
     size = 256
     model = HeatmapTracker(
         backbone_arch="resnet50", num_keypoints=17, image_size=size,
