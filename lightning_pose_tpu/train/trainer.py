@@ -751,6 +751,12 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         f"epochs x {steps_per_epoch} steps on {num_devices} device(s)"
     )
 
+    # profiling: jax.profiler trace into the TensorBoard dir (the reference
+    # passes cfg.training.profiler straight to pl.Trainer, train.py:426)
+    profiler_on = bool(cfg.training.get("profiler", False))
+    if profiler_on:
+        jax.profiler.start_trace(version_dir)
+
     for epoch in range(max_epochs):
         if device_cache is not None:
             batch_iter = data_module.train_index_batches(
@@ -847,6 +853,8 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
             max_epochs - 1,
         )
 
+    if profiler_on:
+        jax.profiler.stop_trace()
     if writer is not None:
         writer.close()
     if hasattr(data_module, "close"):
