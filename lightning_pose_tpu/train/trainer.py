@@ -427,12 +427,22 @@ def make_step_fns(
                     ul_transforms = ul_transforms[2:-2]
                     if "bbox" in ul:
                         ul = dict(ul, bbox=ul["bbox"][2:-2])
-                else:
+                elif is_heatmap:
                     ul_heatmaps, mutated = module.apply(
                         variables, ul_images, train=True, mutable=["batch_stats"]
                     )
                     new_stats = mutated["batch_stats"]
                     ul_preds, ul_confs = module.decode(ul_heatmaps)
+                else:  # regression: the output IS the keypoints
+                    ul_preds, mutated = module.apply(
+                        variables, ul_images, train=True, mutable=["batch_stats"]
+                    )
+                    new_stats = mutated["batch_stats"]
+                    ul_heatmaps = None
+                    ul_confs = jnp.ones(
+                        (ul_preds.shape[0], ul_preds.shape[1] // 2),
+                        dtype=jnp.float32,
+                    )
                 # undo the augmentation so unsupervised losses act in
                 # original frame coords (reference data/utils.py:192-235),
                 # then remap model -> frame resolution like the reference's
