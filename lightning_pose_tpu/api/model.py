@@ -17,7 +17,6 @@ path (reference model.py:615-704).
 from __future__ import annotations
 
 import logging
-import os
 from pathlib import Path
 
 import numpy as np

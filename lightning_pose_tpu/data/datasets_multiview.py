@@ -7,17 +7,17 @@ datasets.py:600-670). Samples fuse per-view images/keypoints/bboxes with a
 **view-major** keypoint layout matching the model head's channel order.
 
 Camera calibration (optional, ``camera_params_file`` CSV) loads per-view
-intrinsic/extrinsic/distortion arrays for the 3D losses. The reference's 3D
-scale/translate augmentation (triangulate -> perturb -> reproject -> warp,
-reference datasets.py:825-1120) is not yet implemented; standard 2D
-augmentation presets apply per view with a shared transform.
+intrinsic/extrinsic/distortion arrays; with calibration present the
+trainer applies the batched 3D scale/translate augmentation on device
+(ops/augment3d.py, the reference's triangulate -> perturb -> reproject ->
+warp pipeline, reference datasets.py:825-1120) plus the supervised 3D
+losses.
 """
 
 from __future__ import annotations
 
 import logging
 import os
-from pathlib import Path
 
 import numpy as np
 

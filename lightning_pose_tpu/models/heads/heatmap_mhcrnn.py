@@ -15,7 +15,6 @@ path is expressed as an input-dilated grouped conv (TPU-friendly, since
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

@@ -27,8 +27,6 @@ than 8x8 tiles.
 
 from __future__ import annotations
 
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
