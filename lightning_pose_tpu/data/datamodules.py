@@ -37,13 +37,15 @@ def collate_batch(
     if pad > 0:
         samples = samples + [samples[-1]] * pad
     batch = {
-        "images": np.stack([s["images"] for s in samples]),
-        "keypoints": np.stack([s["keypoints"] for s in samples]),
-        "visibility": np.stack([s["visibility"] for s in samples]),
-        "bbox": np.stack([s["bbox"] for s in samples]),
         "idxs": np.array([s["idx"] for s in samples], dtype=np.int32),
         "valid": np.array([True] * n + [False] * pad),
     }
+    # stack every array-valued sample key (images/keypoints/visibility/bbox
+    # plus extras like camera matrices for calibrated multiview)
+    for key in samples[0]:
+        if key in ("idx", "num_views"):
+            continue
+        batch[key] = np.stack([np.asarray(s[key]) for s in samples])
     if pad > 0:
         batch["visibility"][n:] = 0  # padded samples drop out of masked losses
     return batch

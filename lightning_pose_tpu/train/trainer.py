@@ -696,12 +696,14 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     device_cache = None
     if bool(cfg.training.get("cache_labeled_data_on_device", True)):
         sample0 = dataset[0]
+        cache_keys = [
+            k for k in sample0 if k not in ("idx", "num_views")
+        ]
         est_bytes = len(dataset) * sum(
-            np.asarray(sample0[k]).nbytes
-            for k in ("images", "keypoints", "visibility", "bbox")
+            np.asarray(sample0[k]).nbytes for k in cache_keys
         )
         if est_bytes < 2 * 1024**3:
-            arrays = {"images": [], "keypoints": [], "visibility": [], "bbox": []}
+            arrays: dict[str, list] = {k: [] for k in cache_keys}
             for i in range(len(dataset)):
                 s = dataset[i]
                 for k in arrays:
