@@ -120,8 +120,20 @@ def run_subpixelmaxima(
             heatmaps, downsample_factor=downsample_factor, temperature=temperature
         )
 
-    for _ in range(downsample_factor):
-        heatmaps = upsample2x(heatmaps)
+    if downsample_factor > 0 and heatmaps.shape[1] == heatmaps.shape[2]:
+        # the whole upsample pipeline (bicubic 2x + pyramid blur per level)
+        # is one separable linear operator: up = M @ hm @ M^T — two MXU
+        # matmuls instead of resize+conv chains (same math as the Pallas
+        # kernel; see ops/pallas_decode.upsample_matrix)
+        from lightning_pose_tpu.ops.pallas_decode import upsample_matrix
+
+        m = jnp.asarray(upsample_matrix(heatmaps.shape[1], downsample_factor))
+        heatmaps = jnp.einsum(
+            "ph,bhwk,qw->bpqk", m, heatmaps.astype(jnp.float32), m
+        )
+    else:
+        for _ in range(downsample_factor):
+            heatmaps = upsample2x(heatmaps)
     softmaxes = spatial_softmax2d(heatmaps, temperature=temperature)
     preds = spatial_expectation2d(softmaxes)  # (B, K, 2)
     confidences = evaluate_heatmaps_at_location(softmaxes, preds)
