@@ -1,0 +1,68 @@
+"""Tests for patch masking, JSON progress trackers, and migrations."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.callbacks import (
+    JSONInferenceProgressTracker,
+    JSONTrainingProgressTracker,
+    apply_patch_mask,
+    patch_mask_ratio,
+)
+
+
+def test_patch_mask_ratio_ramp():
+    assert float(patch_mask_ratio(0, 0.0, 0.5, 100, 200)) == 0.0
+    assert float(patch_mask_ratio(150, 0.0, 0.5, 100, 200)) == pytest.approx(0.25)
+    assert float(patch_mask_ratio(500, 0.0, 0.5, 100, 200)) == pytest.approx(0.5)
+
+
+def test_apply_patch_mask_fraction(rng):
+    images = jnp.ones((4, 64, 64, 3))
+    out = apply_patch_mask(jax.random.PRNGKey(0), images, jnp.float32(0.5), 16)
+    arr = np.asarray(out)
+    # zeros arrive in whole 16x16 patches
+    patches = arr.reshape(4, 4, 16, 4, 16, 3)
+    per_patch = patches.mean(axis=(2, 4, 5))
+    assert set(np.unique(per_patch)) <= {0.0, 1.0}
+    frac = 1 - per_patch.mean()
+    assert 0.2 < frac < 0.8
+    # ratio 0 -> untouched
+    out0 = apply_patch_mask(jax.random.PRNGKey(0), images, jnp.float32(0.0), 16)
+    np.testing.assert_allclose(np.asarray(out0), 1.0)
+
+
+def test_json_training_tracker(tmp_path):
+    path = tmp_path / "status.json"
+    tracker = JSONTrainingProgressTracker(path, total_epochs=10)
+    tracker.update(4)
+    payload = json.loads(path.read_text())
+    assert payload["status"] == "TRAINING"
+    assert payload["current_epoch"] == 4
+    assert payload["progress"] == 50.0
+
+
+def test_json_inference_tracker(tmp_path):
+    path = tmp_path / "status.json"
+    tracker = JSONInferenceProgressTracker(path, total_batches=4)
+    tracker.step()
+    assert json.loads(path.read_text())["progress"] == 25.0
+    tracker.finish()
+    assert json.loads(path.read_text())["status"] == "COMPLETE"
+
+
+def test_migrations(tmp_path):
+    from lightning_pose_tpu.migrations import run_migrations
+    from lightning_pose_tpu.migrations.migrations import rename_time_directories
+
+    bad = tmp_path / "outputs" / "2024-01-01" / "12:30:45"
+    bad.mkdir(parents=True)
+    (bad / "marker.txt").touch()
+    n = rename_time_directories(tmp_path / "outputs")
+    assert n == 1
+    assert (tmp_path / "outputs" / "2024-01-01" / "12-30-45" / "marker.txt").exists()
+    run_migrations(tmp_path)  # no-op second time
