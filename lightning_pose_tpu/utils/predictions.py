@@ -18,7 +18,36 @@ from lightning_pose_tpu.utils.io import make_dlc_pandas_index
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["PredictionHandler"]
+__all__ = ["PredictionHandler", "predict_dataset"]
+
+
+def predict_dataset(
+    cfg,
+    data_module,
+    predict_fn,
+    state,
+    preds_file: str | None = None,
+) -> pd.DataFrame | dict[str, pd.DataFrame]:
+    """Predict every frame of a labeled dataset and optionally write the CSV
+    (reference predictions.py:330 ``predict_dataset``).
+
+    Args:
+        predict_fn: jitted ``(state, images, bbox) -> (keypoints, confs)``.
+    """
+    preds = []
+    for batch in data_module.full_batches():
+        kp, conf = predict_fn(state, batch["images"], batch["bbox"])
+        valid = batch["valid"]
+        preds.append((np.asarray(kp)[valid], np.asarray(conf)[valid]))
+    handler = PredictionHandler(cfg=cfg, data_module=data_module)
+    result = handler(preds)
+    if preds_file is not None:
+        if isinstance(result, dict):
+            for view, df in result.items():
+                df.to_csv(str(preds_file).replace(".csv", f"_{view}.csv"))
+        else:
+            result.to_csv(preds_file)
+    return result
 
 
 class PredictionHandler:
