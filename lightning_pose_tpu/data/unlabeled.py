@@ -35,18 +35,38 @@ class UnlabeledDataModule(BaseDataModule):
         assert cfg is not None and video_dir is not None
         self.cfg = cfg
         self.video_dir = video_dir
-        video_files = check_video_paths(video_dir)
         seq_len = int(cfg.dali.base.train.sequence_length)
-        self.unlabeled_loader = UnlabeledVideoLoader(
-            video_files=list(video_files),
-            sequence_length=seq_len,
-            resize_height=int(cfg.data.image_resize_dims.height),
-            resize_width=int(cfg.data.image_resize_dims.width),
-            seed=int(cfg.training.get("rng_seed_data_pt", 0)) + 123456,
-        )
-        logger.info(
-            f"unlabeled stream: {len(video_files)} video(s), sequence_length={seq_len}"
-        )
+        seed = int(cfg.training.get("rng_seed_data_pt", 0)) + 123456
+        view_names = cfg.data.get("view_names", None)
+        if view_names and len(view_names) > 1:
+            from lightning_pose_tpu.data.video import MultiviewUnlabeledVideoLoader
+            from lightning_pose_tpu.utils.io import find_video_files_for_views
+
+            sessions = find_video_files_for_views(video_dir, list(view_names))
+            self.unlabeled_loader = MultiviewUnlabeledVideoLoader(
+                sessions=[[str(v) for v in views] for views in sessions],
+                sequence_length=seq_len,
+                resize_height=int(cfg.data.image_resize_dims.height),
+                resize_width=int(cfg.data.image_resize_dims.width),
+                seed=seed,
+            )
+            logger.info(
+                f"multiview unlabeled stream: {len(sessions)} session(s), "
+                f"sequence_length={seq_len}"
+            )
+        else:
+            video_files = check_video_paths(video_dir)
+            self.unlabeled_loader = UnlabeledVideoLoader(
+                video_files=list(video_files),
+                sequence_length=seq_len,
+                resize_height=int(cfg.data.image_resize_dims.height),
+                resize_width=int(cfg.data.image_resize_dims.width),
+                seed=seed,
+            )
+            logger.info(
+                f"unlabeled stream: {len(video_files)} video(s), "
+                f"sequence_length={seq_len}"
+            )
 
     def close(self) -> None:
         self.unlabeled_loader.close()

@@ -358,6 +358,84 @@ class UnlabeledVideoLoader:
             d.close()
 
 
+class MultiviewUnlabeledVideoLoader:
+    """Frame-synchronized random windows across one video per view per
+    session (the multiview DALI train reader with shared seeds, reference
+    dali.py:148-152,589-592).
+
+    ``__next__`` yields {"frames": (T, V, H, W, 3), "bbox": (T, V*4),
+    "is_multiview": True}.
+    """
+
+    def __init__(
+        self,
+        sessions: list[list[str]],
+        sequence_length: int,
+        resize_height: int,
+        resize_width: int,
+        seed: int = 123456,
+        shard_id: int = 0,
+    ):
+        assert len(sessions) > 0, "no multiview unlabeled sessions found"
+        self.sessions = [[str(v) for v in views] for views in sessions]
+        self.seq_len = int(sequence_length)
+        self.h = int(resize_height)
+        self.w = int(resize_width)
+        self.rng = np.random.default_rng(seed + shard_id)
+        self.frame_counts = []
+        for views in self.sessions:
+            counts = [count_frames(v) for v in views]
+            if len(set(counts)) != 1:
+                raise RuntimeError(
+                    f"multiview session has mismatched frame counts: "
+                    f"{dict(zip(views, counts))}"
+                )
+            self.frame_counts.append(counts[0])
+        self._decoders: dict[str, VideoFrameDecoder] = {}
+
+    def _decoder(self, path: str) -> VideoFrameDecoder:
+        if path not in self._decoders:
+            self._decoders[path] = VideoFrameDecoder(path, self.h, self.w)
+        return self._decoders[path]
+
+    def __next__(self) -> dict:
+        s = int(self.rng.integers(len(self.sessions)))
+        n = self.frame_counts[s]
+        start = int(self.rng.integers(max(n - self.seq_len, 1)))
+        view_frames = []
+        bboxes = []
+        for path in self.sessions[s]:
+            decoder = self._decoder(path)
+            decoder.seek(start)
+            frames = []
+            for _ in range(self.seq_len):
+                frame = decoder.read()
+                if frame is None:
+                    break
+                frames.append(frame)
+            while len(frames) < self.seq_len:
+                frames.append(frames[-1])
+            view_frames.append(np.stack(frames))
+            bboxes.append(
+                np.tile(
+                    np.array(
+                        [0.0, 0.0, decoder.orig_height, decoder.orig_width],
+                        dtype=np.float32,
+                    ),
+                    (self.seq_len, 1),
+                )
+            )
+        return {
+            "frames": np.stack(view_frames, axis=1),  # (T, V, H, W, 3)
+            "bbox": np.concatenate(bboxes, axis=1),  # (T, V*4)
+            "is_multiview": True,
+        }
+
+    def close(self) -> None:
+        for d in self._decoders.values():
+            d.close()
+
+
 def undo_affine_transform_batch(keypoints, transforms):
     """Invert the per-frame 2x3 augmentation matrices applied to unlabeled
     frames (reference data/utils.py:192-235).

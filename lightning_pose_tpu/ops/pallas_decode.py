@@ -47,10 +47,10 @@ def upsample_matrix(in_size: int, downsample_factor: int) -> np.ndarray:
         with jax.ensure_compile_time_eval():
             u = np.asarray(
                 jax.image.resize(
-                    jnp.eye(size, dtype=jnp.float64), (2 * size, size),
+                    jnp.eye(size, dtype=jnp.float32), (2 * size, size),
                     method="bicubic",
                 )
-            )
+            ).astype(np.float64)
         # banded blur matrix with zero (constant) boundary
         b = np.zeros((2 * size, 2 * size))
         for offset, w in zip(range(-2, 3), kernel1d):

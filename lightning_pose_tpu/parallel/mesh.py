@@ -38,10 +38,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Device-put a pytree of host arrays with the batch axis sharded;
+    rank-0 leaves (scalars/flags) are replicated."""
     sharding = batch_sharding(mesh)
+    scalar_sharding = NamedSharding(mesh, P())
 
     def put(x):
+        if np.ndim(x) == 0:
+            return jax.device_put(x, scalar_sharding)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

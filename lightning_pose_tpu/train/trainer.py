@@ -398,12 +398,27 @@ def make_step_fns(
 
                 ul = batch["unlabeled"]
                 # DALI-equivalent train augmentation on device
-                # (reference dali.py:156-182), only for dlc-style presets
-                ul_frames, ul_transforms = augment_video_sequence(
-                    jax.random.fold_in(aug_rng, 1),
-                    ul["frames"],
-                    apply_geometric=augmenter.is_dlc,
-                )
+                # (reference dali.py:156-182), only for dlc-style presets;
+                # multiview windows get photometric-only treatment per view
+                # (views must stay geometrically consistent)
+                if is_multiview:
+                    t_, v_ = ul["frames"].shape[0], ul["frames"].shape[1]
+                    flat_frames = ul["frames"].reshape(
+                        t_ * v_, *ul["frames"].shape[2:]
+                    )
+                    ul_frames, ul_transforms = augment_video_sequence(
+                        jax.random.fold_in(aug_rng, 1),
+                        flat_frames,
+                        apply_geometric=False,
+                    )
+                    ul_frames = ul_frames.reshape(t_, v_, *ul_frames.shape[1:])
+                    ul_transforms = ul_transforms[:t_]
+                else:
+                    ul_frames, ul_transforms = augment_video_sequence(
+                        jax.random.fold_in(aug_rng, 1),
+                        ul["frames"],
+                        apply_geometric=augmenter.is_dlc,
+                    )
                 ul_images = normalize_images(ul_frames)
                 variables = {"params": params, "batch_stats": new_stats}
                 if is_context:
@@ -450,7 +465,8 @@ def make_step_fns(
                 ul_preds = undo_affine_transform_batch(ul_preds, ul_transforms)
                 if "bbox" in ul:
                     ul_preds = bboxes_mod.model_to_frame_batch(
-                        ul_preds, ul["bbox"], width, height
+                        ul_preds, ul["bbox"], width, height,
+                        num_views=num_views,
                     )
                 loss_unsup, logs_unsup = unsup(
                     stage="train",
