@@ -83,3 +83,67 @@ def cfg(toy_data_dir):
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def mv_data_dir(toy_data_dir, tmp_path_factory) -> str:
+    """Synthesize a 2-view dataset by splitting mirror-mouse at y=168
+    (mirrors reference tests/conftest.py:107-198; cv2 instead of ffmpeg)."""
+    import cv2
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("mv_data"))
+    y_split = 168
+    os.makedirs(os.path.join(out, "labeled-data", "example_top"), exist_ok=True)
+    os.makedirs(os.path.join(out, "labeled-data", "example_bot"), exist_ok=True)
+    os.makedirs(os.path.join(out, "videos"), exist_ok=True)
+
+    src_ld = os.path.join(toy_data_dir, "labeled-data")
+    for frame in os.listdir(src_ld):
+        img = cv2.imread(os.path.join(src_ld, frame))
+        cv2.imwrite(os.path.join(out, "labeled-data", "example_top", frame),
+                    img[:y_split])
+        cv2.imwrite(os.path.join(out, "labeled-data", "example_bot", frame),
+                    img[y_split:])
+
+    for video in os.listdir(os.path.join(toy_data_dir, "videos")):
+        cap = cv2.VideoCapture(os.path.join(toy_data_dir, "videos", video))
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        four = cv2.VideoWriter_fourcc(*"mp4v")
+        wt = cv2.VideoWriter(
+            os.path.join(out, "videos", video.replace(".mp4", "_top.mp4")),
+            four, fps, (w, y_split))
+        wb = cv2.VideoWriter(
+            os.path.join(out, "videos", video.replace(".mp4", "_bot.mp4")),
+            four, fps, (w, h - y_split))
+        n = 0
+        while n < 60:  # short test videos
+            ret, frame = cap.read()
+            if not ret:
+                break
+            wt.write(frame[:y_split]); wb.write(frame[y_split:]); n += 1
+        cap.release(); wt.release(); wb.release()
+
+    df_og = pd.read_csv(os.path.join(toy_data_dir, "CollectedData.csv"),
+                        header=[0, 1, 2], index_col=0)
+    df_top = df_og.filter(regex="_top").drop(columns=["obs_top"], level=1)
+    df_bot = df_og.filter(regex="_bot").drop(
+        columns=["obsHigh_bot", "obsLow_bot"], level=1)
+    df_bot.loc[:, df_bot.columns.get_level_values("coords") == "y"] -= y_split
+    df_top.index = pd.Index([
+        "/".join([d.split("/")[0], "example_top", d.split("/")[1]])
+        for d in df_top.index])
+    df_bot.index = pd.Index([
+        "/".join([d.split("/")[0], "example_bot", d.split("/")[1]])
+        for d in df_bot.index])
+    df_top.columns = pd.MultiIndex.from_tuples(
+        [(a, b.replace("_top", ""), c) for a, b, c in df_top.columns],
+        names=df_top.columns.names)
+    df_bot.columns = pd.MultiIndex.from_tuples(
+        [(a, b.replace("_bot", ""), c) for a, b, c in df_bot.columns],
+        names=df_bot.columns.names)
+    df_top.to_csv(os.path.join(out, "top.csv"))
+    df_bot.to_csv(os.path.join(out, "bot.csv"))
+    return out

@@ -109,3 +109,53 @@ def test_calculate_steps_per_epoch(cfg, toy_data_dir):
     dm = get_data_module(cfg, dataset)
     # 90 frames * 0.8 = 72 train; batch 2 -> 36 steps
     assert calculate_steps_per_epoch(dm) == 36
+
+
+@pytest.mark.slow
+def test_train_semisupervised(cfg, tmp_path):
+    """Semi-supervised training (temporal loss over unlabeled video) with
+    the min-10-steps floor."""
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "semisup-test")
+    c.model.losses_to_use = ["temporal"]
+    c.dali.base.train.sequence_length = 4
+    train(c, model_dir=tmp_path)
+    assert (tmp_path / "predictions.csv").exists()
+    # anneal weight + temporal loss must appear in the TB logs dir
+    import glob
+
+    assert glob.glob(str(tmp_path / "tb_logs" / "semisup-test" / "version_*"))
+
+
+@pytest.mark.slow
+def test_train_multiview(cfg, mv_data_dir, tmp_path):
+    """Multiview transformer end-to-end on the synthesized 2-view split."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.video_dir = f"{mv_data_dir}/videos"
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.view_names = ["top", "bot"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = [0, 1, 2, 3, 4, 5, 6]
+    c.data.columns_for_singleview_pca = None
+    c.training.imgaug = "dlc-mv"
+    c.training.train_batch_size = 2
+    c.training.val_batch_size = 2
+    c.training.test_batch_size = 2
+    c.training.train_frames = 4
+    c.training.max_epochs = 1
+    c.training.min_epochs = 1
+    c.training.check_val_every_n_epoch = 1
+    c.training.unfreezing_epoch = 0
+    c.model.model_type = "heatmap_multiview"
+    c.model.backbone = "vits_dino"
+    c.model.model_name = "mv-test"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path)
+    assert (tmp_path / "image_preds" / "top.csv" / "predictions.csv").exists()
+    assert (tmp_path / "image_preds" / "bot.csv" / "predictions.csv").exists()
+    assert (tmp_path / "predictions_top.csv").exists()
