@@ -21,7 +21,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["port_resnet_state_dict", "load_torch_checkpoint"]
+__all__ = ["port_resnet_state_dict", "port_vit_state_dict", "load_torch_checkpoint"]
 
 
 def _to_numpy(t: Any) -> np.ndarray:
@@ -129,3 +129,80 @@ def port_resnet_state_dict(
             batch_stats[name] = flax_stats
 
     return params, batch_stats
+
+
+def port_vit_state_dict(
+    state_dict: Mapping[str, Any],
+    depth: int,
+    num_heads: int,
+) -> dict:
+    """Convert an HF ``ViTModel``-style state dict (facebook/dino-*,
+    vit-mae-*; reference backbones/vit.py:52-81) to the Flax ``ViT`` tree.
+
+    HF layout: ``embeddings.{cls_token,position_embeddings,
+    patch_embeddings.projection.*}``, ``encoder.layer.N.{attention.attention.
+    {query,key,value},attention.output.dense,intermediate.dense,output.dense,
+    layernorm_before,layernorm_after}``, final ``layernorm``.
+    """
+    params: dict[str, Any] = {}
+
+    def arr(key: str) -> np.ndarray:
+        return _to_numpy(state_dict[key])
+
+    params["cls_token"] = arr("embeddings.cls_token")
+    params["pos_embed"] = arr("embeddings.position_embeddings")
+    params["patch_embed"] = {
+        "kernel": _conv_kernel(state_dict["embeddings.patch_embeddings.projection.weight"]),
+        "bias": arr("embeddings.patch_embeddings.projection.bias"),
+    }
+
+    embed_dim = params["cls_token"].shape[-1]
+    head_dim = embed_dim // num_heads
+
+    def dense(prefix: str) -> dict:
+        return {
+            "kernel": _to_numpy(state_dict[f"{prefix}.weight"]).T,
+            "bias": arr(f"{prefix}.bias"),
+        }
+
+    def qkv(prefix: str) -> dict:
+        # torch Linear (out, in) -> flax attention head split
+        w = _to_numpy(state_dict[f"{prefix}.weight"]).T  # (in, out)
+        b = arr(f"{prefix}.bias")
+        return {
+            "kernel": w.reshape(embed_dim, num_heads, head_dim),
+            "bias": b.reshape(num_heads, head_dim),
+        }
+
+    for i in range(depth):
+        hf = f"encoder.layer.{i}"
+        out_w = _to_numpy(state_dict[f"{hf}.attention.output.dense.weight"]).T
+        params[f"block{i}"] = {
+            "ln1": {
+                "scale": arr(f"{hf}.layernorm_before.weight"),
+                "bias": arr(f"{hf}.layernorm_before.bias"),
+            },
+            "attn": {
+                "query": qkv(f"{hf}.attention.attention.query"),
+                "key": qkv(f"{hf}.attention.attention.key"),
+                "value": qkv(f"{hf}.attention.attention.value"),
+                "out": {
+                    "kernel": out_w.reshape(num_heads, head_dim, embed_dim),
+                    "bias": arr(f"{hf}.attention.output.dense.bias"),
+                },
+            },
+            "ln2": {
+                "scale": arr(f"{hf}.layernorm_after.weight"),
+                "bias": arr(f"{hf}.layernorm_after.bias"),
+            },
+            "mlp": {
+                "fc1": dense(f"{hf}.intermediate.dense"),
+                "fc2": dense(f"{hf}.output.dense"),
+            },
+        }
+
+    params["ln"] = {
+        "scale": arr("layernorm.weight"),
+        "bias": arr("layernorm.bias"),
+    }
+    return params

@@ -636,6 +636,26 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     bb_ckpt = cfg.model.get("backbone_checkpoint")
     if bb_ckpt and os.path.isfile(str(bb_ckpt)) and str(
         cfg.model.backbone
+    ).startswith("vit"):
+        from lightning_pose_tpu.models.backbones.torch_port import (
+            load_torch_checkpoint,
+            port_vit_state_dict,
+        )
+        from lightning_pose_tpu.models.backbones.vit import VIT_CONFIGS
+
+        size_key = str(cfg.model.backbone).split("_")[0]
+        _, depth, num_heads, _ = VIT_CONFIGS[size_key]
+        sd = load_torch_checkpoint(str(bb_ckpt))
+        sd = {k.removeprefix("vit."): v for k, v in sd.items()}
+        import flax.serialization
+
+        params = dict(params)
+        params["backbone"] = flax.serialization.from_state_dict(
+            params["backbone"], port_vit_state_dict(sd, depth, num_heads)
+        )
+        logger.info(f"loaded pretrained ViT backbone weights from {bb_ckpt}")
+    elif bb_ckpt and os.path.isfile(str(bb_ckpt)) and str(
+        cfg.model.backbone
     ).startswith(("resnet",)):
         from lightning_pose_tpu.models.backbones.resnet import RESNET_CONFIGS
         from lightning_pose_tpu.models.backbones.torch_port import (
