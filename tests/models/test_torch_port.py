@@ -99,3 +99,92 @@ def test_load_torch_checkpoint_strips_backbone_prefix(tmp_path):
     out = load_torch_checkpoint(str(path))
     assert "conv1.weight" in out
     assert "other.key" in out
+
+
+class _TorchBasicBlock(torch.nn.Module):
+    """Minimal torchvision-compatible BasicBlock for parity testing."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(cout)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(cout)
+        if stride != 1 or cin != cout:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(cout),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + identity)
+
+
+class _TorchResNet18Trunk(torch.nn.Module):
+    """torchvision-named resnet18 trunk (through layer4, no pool/fc)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+        widths = [64, 128, 256, 512]
+        for stage in range(4):
+            cin = widths[max(stage - 1, 0)] if stage > 0 else 64
+            blocks = torch.nn.Sequential(
+                _TorchBasicBlock(cin, widths[stage], 2 if stage > 0 else 1),
+                _TorchBasicBlock(widths[stage], widths[stage]),
+            )
+            setattr(self, f"layer{stage + 1}", blocks)
+
+    def forward(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        for stage in range(4):
+            x = getattr(self, f"layer{stage + 1}")(x)
+        return x
+
+
+@pytest.mark.slow
+def test_resnet18_port_matches_torch_forward(rng):
+    """Flax ResNet with ported weights reproduces the torch forward pass."""
+    import jax
+    import jax.numpy as jnp
+
+    import flax.serialization
+    from lightning_pose_tpu.models.backbones.resnet import ResNet
+
+    torch.manual_seed(0)
+    trunk = _TorchResNet18Trunk().eval()
+    # randomize bn stats away from init for a meaningful check
+    with torch.no_grad():
+        for m in trunk.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = trunk(torch.tensor(x)).numpy().transpose(0, 2, 3, 1)
+
+    params, batch_stats = port_resnet_state_dict(
+        trunk.state_dict(), (2, 2, 2, 2), bottleneck=False
+    )
+    model = ResNet(arch="resnet18", dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    params = flax.serialization.from_state_dict(variables["params"], params)
+    batch_stats = flax.serialization.from_state_dict(
+        variables["batch_stats"], batch_stats
+    )
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
