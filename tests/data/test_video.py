@@ -73,3 +73,30 @@ def test_unlabeled_loader(video_file):
     # random windows should differ
     assert not np.array_equal(item["frames"], item2["frames"])
     loader.close()
+
+
+def test_predict_loader_bbox_crop(video_file):
+    """bbox-crop mode: full-res decode + per-frame crop+resize."""
+    import pandas as pd
+
+    n = 40
+    bbox_df = pd.DataFrame(
+        {"x": [50] * n, "y": [60] * n, "h": [120] * n, "w": [120] * n}
+    )
+    loader = PredictVideoLoader(
+        video_file, sequence_length=8, resize_height=64, resize_width=64,
+        bbox_df=bbox_df,
+    )
+    batch = next(iter(loader))
+    assert batch.shape == (8, 64, 64, 3)
+    # compare frame 0 against a manual crop+resize
+    import cv2
+
+    cap = cv2.VideoCapture(video_file)
+    _, frame = cap.read()
+    cap.release()
+    manual = cv2.resize(
+        cv2.cvtColor(frame[60:180, 50:170], cv2.COLOR_BGR2RGB), (64, 64)
+    )
+    diff = np.abs(batch[0].astype(int) - manual.astype(int))
+    assert diff.max() <= 2, f"max diff {diff.max()}"
