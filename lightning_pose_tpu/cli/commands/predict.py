@@ -63,6 +63,10 @@ def handle(args: argparse.Namespace) -> None:
     if args.compile:
         model.compile()
 
+    if model.config.is_multi_view():
+        _predict_multiview(model, args)
+        return
+
     for input_path in args.input_path:
         input_path = Path(input_path)
         if input_path.is_dir():
@@ -71,6 +75,40 @@ def handle(args: argparse.Namespace) -> None:
                 _predict_one(model, Path(f), args)
         else:
             _predict_one(model, input_path, args)
+
+
+def _predict_multiview(model, args: argparse.Namespace) -> None:
+    """Group per-view inputs by session for multiview models
+    (reference cli/commands/predict.py multiview session grouping)."""
+    from lightning_pose_tpu.utils.io import (
+        find_video_files_for_views,
+        split_video_files_by_view,
+    )
+
+    view_names = list(model.cfg.data.view_names)
+    paths = [Path(p) for p in args.input_path]
+
+    csvs = [p for p in paths if p.suffix == ".csv"]
+    if csvs:
+        if len(csvs) != len(view_names):
+            raise ValueError(
+                f"multiview models need one CSV per view ({len(view_names)}), "
+                f"got {len(csvs)}"
+            )
+        model.predict_on_label_csv_multiview(csv_file_per_view=[str(c) for c in csvs])
+
+    videos = [p for p in paths if p.suffix == ".mp4"]
+    dirs = [p for p in paths if p.is_dir()]
+    sessions = []
+    if videos:
+        sessions += split_video_files_by_view(videos, view_names)
+    for d in dirs:
+        sessions += find_video_files_for_views(str(d), view_names)
+    for session_videos in sessions:
+        model.predict_on_video_file_multiview(
+            video_file_per_view=[str(v) for v in session_videos],
+            generate_labeled_video=not args.skip_viz,
+        )
 
 
 def _predict_one(model, input_path: Path, args: argparse.Namespace) -> None:
