@@ -162,3 +162,13 @@ def test_train_multiview(cfg, mv_data_dir, tmp_path):
     assert (tmp_path / "image_preds" / "top.csv" / "predictions.csv").exists()
     assert (tmp_path / "image_preds" / "bot.csv" / "predictions.csv").exists()
     assert (tmp_path / "predictions_top.csv").exists()
+
+    # reload through the Model API and run the multiview CSV path
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(tmp_path)
+    out = m.predict_on_label_csv_multiview(
+        csv_file_per_view=["top.csv", "bot.csv"], compute_metrics=False
+    )
+    assert set(out.keys()) == {"top", "bot"}
+    assert out["top"].shape[0] == 90
