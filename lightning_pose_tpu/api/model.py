@@ -203,6 +203,11 @@ class Model:
     ):
         """Predict all frames of a labeled CSV; write
         image_preds/<csv_name>/predictions.csv (reference model.py:958)."""
+        if self.config.is_multi_view():
+            raise ValueError(
+                "this is a multiview model; use predict_on_label_csv_multiview "
+                "with one CSV per view"
+            )
         self._load()
         from lightning_pose_tpu.data.datamodules import BaseDataModule
         from lightning_pose_tpu.data.datasets import HeatmapDataset
