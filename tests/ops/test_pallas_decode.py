@@ -36,3 +36,18 @@ def test_pallas_decode_matches_xla(rng, df):
     np.testing.assert_allclose(
         np.asarray(conf_pal), np.asarray(conf_ref), atol=1e-3
     )
+
+
+@pytest.mark.parametrize("k,hw,df", [(1, 16, 2), (5, 64, 2), (3, 32, 3)])
+def test_pallas_decode_shapes_and_parity(rng, k, hw, df):
+    """Kernel handles arbitrary keypoint counts, map sizes, and df=3."""
+    size = hw * (2**df)
+    kps = rng.uniform(size * 0.1, size * 0.9, size=(2, k, 2)).astype(np.float32)
+    hm = np.asarray(generate_heatmaps(kps, size, size, (hw, hw)))
+    kp_ref, conf_ref = run_subpixelmaxima(hm, downsample_factor=df)
+    kp_pal, conf_pal = run_subpixelmaxima_pallas(
+        hm, downsample_factor=df, interpret=True
+    )
+    assert kp_pal.shape == (2, 2 * k)
+    np.testing.assert_allclose(np.asarray(kp_pal), np.asarray(kp_ref), atol=0.1)
+    np.testing.assert_allclose(np.asarray(conf_pal), np.asarray(conf_ref), atol=5e-3)
