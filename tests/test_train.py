@@ -172,3 +172,76 @@ def test_train_multiview(cfg, mv_data_dir, tmp_path):
     )
     assert set(out.keys()) == {"top", "bot"}
     assert out["top"].shape[0] == 90
+
+
+@pytest.mark.slow
+def test_cached_and_uncached_steps_equivalent(cfg, toy_data_dir):
+    """The device-cache path must produce the same update as the host-batch
+    path for the same samples and rng."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.data.datamodules import collate_batch
+    from lightning_pose_tpu.data.factory import get_data_module, get_dataset
+    from lightning_pose_tpu.losses.factory import get_loss_factories
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.ops.augment import AugmentationEngine
+    from lightning_pose_tpu.train.trainer import (
+        TrainState,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    c = cfg.copy()
+    c.training.imgaug = "default"
+    c.training.train_batch_size = 4
+    dataset = get_dataset(c, toy_data_dir)
+    dm = get_data_module(c, dataset)
+    module, meta = get_model(c, num_keypoints=dataset.num_keypoints,
+                             compute_dtype=jnp.float32)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+    )
+    tx, _, _ = make_optimizer(c, 10, variables["params"])
+    state0 = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    lf = get_loss_factories(c, dm)
+    aug = AugmentationEngine("default", 128, 128)
+    train_step, _, _, train_step_cached = make_step_fns(
+        module, meta, lf, aug, c, tx, 10
+    )
+
+    # donation deletes the first state's buffers; keep independent copies
+    params_copy = jax.tree_util.tree_map(jnp.copy, variables["params"])
+    stats_copy = jax.tree_util.tree_map(
+        jnp.copy, variables.get("batch_stats", {})
+    )
+
+    idxs = np.asarray(dm.train_dataset.indices[:4], dtype=np.int32)
+    batch = collate_batch(dataset, idxs, 4)
+    rng_key = jax.random.PRNGKey(7)
+    s1, logs1 = train_step(state0, batch, rng_key)
+
+    cache = {
+        k: jnp.asarray(np.stack([np.asarray(dataset[i][k]) for i in range(len(dataset))]))
+        for k in ("images", "keypoints", "visibility", "bbox")
+    }
+    state0b = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params_copy,
+        batch_stats=stats_copy,
+        opt_state=tx.init(params_copy),
+    )
+    s2, logs2 = train_step_cached(
+        state0b, cache, jnp.asarray(idxs), jnp.ones(4, bool), rng_key, {}
+    )
+    assert float(logs1["total_loss"]) == pytest.approx(
+        float(logs2["total_loss"]), rel=1e-5
+    )
+    p1 = np.asarray(s1.params["head"]["deconv0"]["kernel"])
+    p2 = np.asarray(s2.params["head"]["deconv0"]["kernel"])
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
