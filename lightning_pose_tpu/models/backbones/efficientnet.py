@@ -74,7 +74,7 @@ class MBConv(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         def bn(name: str):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-3,
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, param_dtype=jnp.float32, name=name,
             )
 
@@ -122,7 +122,7 @@ class EfficientNet(nn.Module):
 
         def bn(name: str):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-3,
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, param_dtype=jnp.float32, name=name,
             )
 

@@ -74,14 +74,15 @@ ALLOWED_TRANSFORMER_BACKBONES_MULTIVIEW = [
 ALLOWED_BACKBONES = ALLOWED_CONVNET_BACKBONES + ALLOWED_TRANSFORMER_BACKBONES
 
 # feature-map stride (input_size / feature_map_size); drives the number of
-# upsampling layers in the heatmap head (reference factory.py:98-124)
-# NOTE: the reference's SAM2 Hiera trunk runs at stride 32
-# (reference factory.py:121-123); this build substitutes a plain ViT for the
-# sam2 names (stride 16), so the stride map reflects OUR architecture to
-# keep the head's upsampling-layer count consistent.
+# upsampling layers in the heatmap head. Convnets and the SAM2 Hiera trunk
+# (4x patch embed + 3 stages of 2x query pooling) run at stride 32; plain
+# 16x16-patch ViTs at stride 16 (reference factory.py:98-124).
 BACKBONE_STRIDES: dict[str, int] = {
     **{name: 32 for name in ALLOWED_CONVNET_BACKBONES},
     **{name: 16 for name in ALLOWED_TRANSFORMER_BACKBONES},
+    "vitb_sam2": 32,
+    "vits_sam2": 32,
+    "vitt_sam2": 32,
 }
 
 
@@ -108,7 +109,11 @@ def build_backbone(
 
     if backbone_arch.startswith("vit"):
         return _build_transformer_backbone(
-            backbone_arch, image_size=image_size, dtype=dtype, **kwargs
+            backbone_arch,
+            image_size=image_size,
+            dtype=dtype,
+            backbone_checkpoint=backbone_checkpoint,
+            **kwargs,
         )
     return _build_convnet_backbone(
         backbone_arch,
@@ -135,28 +140,21 @@ def _build_convnet_backbone(
             variant=variant, dtype=dtype, global_pool=(model_type == "regression")
         )
         num_features = EFFICIENTNET_CONFIGS[variant][-1]
-        return module, num_features, None
-
-    # all resnet50_* pose variants share the resnet50 architecture
-    arch = "resnet50" if backbone_arch.startswith("resnet50_") else backbone_arch
-    module = ResNet(
-        arch=arch, dtype=dtype, global_pool=(model_type == "regression")
-    )
-    num_features = RESNET_CONFIGS[arch][2]
+    else:
+        # all resnet50_* pose variants share the resnet50 architecture
+        arch = "resnet50" if backbone_arch.startswith("resnet50_") else backbone_arch
+        module = ResNet(
+            arch=arch, dtype=dtype, global_pool=(model_type == "regression")
+        )
+        num_features = RESNET_CONFIGS[arch][2]
 
     pretrained = None
     if backbone_checkpoint and os.path.isfile(backbone_checkpoint):
         from lightning_pose_tpu.models.backbones.torch_port import (
-            load_torch_checkpoint,
-            port_resnet_state_dict,
+            port_backbone_checkpoint,
         )
 
-        stage_sizes, bottleneck, _ = RESNET_CONFIGS[arch]
-        state_dict = load_torch_checkpoint(backbone_checkpoint)
-        params, batch_stats = port_resnet_state_dict(
-            state_dict, tuple(stage_sizes), bottleneck
-        )
-        pretrained = {"params": params, "batch_stats": batch_stats}
+        pretrained = port_backbone_checkpoint(backbone_arch, backbone_checkpoint)
         logger.info(f"ported torch checkpoint {backbone_checkpoint} for {backbone_arch}")
     else:
         logger.warning(
@@ -167,23 +165,87 @@ def _build_convnet_backbone(
     return module, num_features, pretrained
 
 
-def _build_transformer_backbone(
-    backbone_arch: str, image_size: int, dtype: Any, **kwargs: Any
-):
+def make_transformer_module(backbone_arch: str, image_size: int, dtype: Any):
+    """Construct the Flax module for a transformer backbone name.
+
+    Dispatches to the real architecture family (reference
+    backbones/factory.py:196-240): plain ViT for dino/imagenet names,
+    DINOv2/DINOv3 variants with LayerScale (+RoPE/registers for v3), the
+    SAM ViTDet encoder, and the SAM2 Hiera trunk. Returns
+    (module, num_output_features).
+    """
+    if backbone_arch.endswith("_sam2"):
+        from lightning_pose_tpu.models.backbones.hiera import (
+            HIERA_CONFIGS,
+            Hiera,
+        )
+
+        module = Hiera(**HIERA_CONFIGS[backbone_arch], dtype=dtype)
+        return module, module.out_features
+
     size_key = backbone_arch.split("_")[0]  # vits / vitb / vitt
     if size_key not in VIT_CONFIGS:
         raise NotImplementedError(f'"{backbone_arch}" transformer not supported yet')
     embed_dim, depth, num_heads, patch = VIT_CONFIGS[size_key]
+    grid = image_size // patch
+
+    if backbone_arch == "vitb_sam":
+        from lightning_pose_tpu.models.backbones.vit_sam import SamViT
+
+        return SamViT(
+            embed_dim=embed_dim, depth=depth, num_heads=num_heads,
+            patch_size=patch, pos_grid=grid, dtype=dtype,
+        ), embed_dim
+    if backbone_arch.endswith("_dinov2"):
+        from lightning_pose_tpu.models.backbones.vit_dino import DinoV2ViT
+
+        return DinoV2ViT(
+            embed_dim=embed_dim, depth=depth, num_heads=num_heads,
+            patch_size=patch, pretrained_grid=grid, dtype=dtype,
+        ), embed_dim
+    if backbone_arch.endswith("_dinov3"):
+        from lightning_pose_tpu.models.backbones.vit_dino import DinoV3ViT
+
+        return DinoV3ViT(
+            embed_dim=embed_dim, depth=depth, num_heads=num_heads,
+            patch_size=patch, num_register_tokens=4, dtype=dtype,
+        ), embed_dim
+    # plain HF ViTModel family: facebook/dino-*, facebook/vit-mae-base
     module = ViT(
         embed_dim=embed_dim,
         depth=depth,
         num_heads=num_heads,
         patch_size=patch,
-        pretrained_grid=image_size // patch,
+        pretrained_grid=grid,
         dtype=dtype,
     )
-    logger.warning(
-        f"backbone '{backbone_arch}' uses random initialization "
-        "(no network egress to download pretrained weights)"
-    )
-    return module, embed_dim, None
+    return module, embed_dim
+
+
+def _build_transformer_backbone(
+    backbone_arch: str,
+    image_size: int,
+    dtype: Any,
+    backbone_checkpoint: str | None = None,
+    **kwargs: Any,
+):
+    module, num_features = make_transformer_module(backbone_arch, image_size, dtype)
+
+    pretrained = None
+    if backbone_checkpoint and os.path.isfile(str(backbone_checkpoint)):
+        from lightning_pose_tpu.models.backbones.torch_port import (
+            port_backbone_checkpoint,
+        )
+
+        pretrained = port_backbone_checkpoint(
+            backbone_arch, str(backbone_checkpoint), image_size=image_size
+        )
+        logger.info(
+            f"ported torch checkpoint {backbone_checkpoint} for {backbone_arch}"
+        )
+    else:
+        logger.warning(
+            f"backbone '{backbone_arch}' uses random initialization "
+            "(no network egress to download pretrained weights)"
+        )
+    return module, num_features, pretrained

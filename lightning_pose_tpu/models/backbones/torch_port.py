@@ -206,3 +206,358 @@ def port_vit_state_dict(
         "bias": arr("layernorm.bias"),
     }
     return params
+
+
+def _dense(state_dict: Mapping[str, Any], prefix: str) -> dict:
+    """torch Linear -> flax Dense (kernel transposed; bias optional)."""
+    out = {"kernel": _to_numpy(state_dict[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in state_dict:
+        out["bias"] = _to_numpy(state_dict[f"{prefix}.bias"])
+    return out
+
+
+def _ln(state_dict: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "scale": _to_numpy(state_dict[f"{prefix}.weight"]),
+        "bias": _to_numpy(state_dict[f"{prefix}.bias"]),
+    }
+
+
+def _resize_patch_kernel(weight: Any, new_size: int) -> np.ndarray:
+    """Bicubic-resize a torch OIHW patch-embed kernel to ``new_size`` —
+    the reference's patch-14 -> 16 normalization (reference
+    vit_dino.py:121-146: bicubic, align_corners=True, antialias=True).
+    Returns HWIO for flax."""
+    import torch
+    import torch.nn.functional as F
+
+    w = weight if hasattr(weight, "shape") else torch.as_tensor(weight)
+    if not hasattr(w, "detach"):
+        w = torch.as_tensor(np.asarray(w))
+    o, i, kh, kw = w.shape
+    if (kh, kw) != (new_size, new_size):
+        w = w.reshape(o * i, 1, kh, kw)
+        w = F.interpolate(
+            w.float(), size=(new_size, new_size), mode="bicubic",
+            align_corners=True, antialias=True,
+        )
+        w = w.reshape(o, i, new_size, new_size)
+    return _conv_kernel(w)
+
+
+def port_dinov2_state_dict(
+    state_dict: Mapping[str, Any], depth: int, patch_size: int = 16
+) -> dict:
+    """Convert an HF ``Dinov2Model`` state dict (facebook/dinov2-*) to the
+    Flax ``DinoV2ViT`` tree, resizing the patch-embed kernel to
+    ``patch_size`` like the reference (vit_dino.py:121-146)."""
+    params: dict[str, Any] = {
+        "cls_token": _to_numpy(state_dict["embeddings.cls_token"]),
+        "pos_embed": _to_numpy(state_dict["embeddings.position_embeddings"]),
+        "patch_embed": {
+            "kernel": _resize_patch_kernel(
+                state_dict["embeddings.patch_embeddings.projection.weight"],
+                patch_size,
+            ),
+            "bias": _to_numpy(
+                state_dict["embeddings.patch_embeddings.projection.bias"]
+            ),
+        },
+        "ln": _ln(state_dict, "layernorm"),
+    }
+    for i in range(depth):
+        hf = f"encoder.layer.{i}"
+        params[f"block{i}"] = {
+            "ln1": _ln(state_dict, f"{hf}.norm1"),
+            "query": _dense(state_dict, f"{hf}.attention.attention.query"),
+            "key": _dense(state_dict, f"{hf}.attention.attention.key"),
+            "value": _dense(state_dict, f"{hf}.attention.attention.value"),
+            "out": _dense(state_dict, f"{hf}.attention.output.dense"),
+            "ls1": {"lambda": _to_numpy(state_dict[f"{hf}.layer_scale1.lambda1"])},
+            "ln2": _ln(state_dict, f"{hf}.norm2"),
+            "fc1": _dense(state_dict, f"{hf}.mlp.fc1"),
+            "fc2": _dense(state_dict, f"{hf}.mlp.fc2"),
+            "ls2": {"lambda": _to_numpy(state_dict[f"{hf}.layer_scale2.lambda1"])},
+        }
+    return params
+
+
+def port_dinov3_state_dict(state_dict: Mapping[str, Any], depth: int) -> dict:
+    """Convert an HF ``DINOv3ViTModel`` state dict to the Flax ``DinoV3ViT``
+    tree (register tokens; RoPE has no weights)."""
+    params: dict[str, Any] = {
+        "cls_token": _to_numpy(state_dict["embeddings.cls_token"]),
+        "register_tokens": _to_numpy(state_dict["embeddings.register_tokens"]),
+        "patch_embed": {
+            "kernel": _conv_kernel(state_dict["embeddings.patch_embeddings.weight"]),
+            "bias": _to_numpy(state_dict["embeddings.patch_embeddings.bias"]),
+        },
+        "ln": _ln(state_dict, "norm"),
+    }
+    for i in range(depth):
+        hf = f"layer.{i}"
+        params[f"block{i}"] = {
+            "ln1": _ln(state_dict, f"{hf}.norm1"),
+            "q_proj": _dense(state_dict, f"{hf}.attention.q_proj"),
+            "k_proj": _dense(state_dict, f"{hf}.attention.k_proj"),
+            "v_proj": _dense(state_dict, f"{hf}.attention.v_proj"),
+            "o_proj": _dense(state_dict, f"{hf}.attention.o_proj"),
+            "ls1": {"lambda": _to_numpy(state_dict[f"{hf}.layer_scale1.lambda1"])},
+            "ln2": _ln(state_dict, f"{hf}.norm2"),
+            "up_proj": _dense(state_dict, f"{hf}.mlp.up_proj"),
+            "down_proj": _dense(state_dict, f"{hf}.mlp.down_proj"),
+            "ls2": {"lambda": _to_numpy(state_dict[f"{hf}.layer_scale2.lambda1"])},
+        }
+    return params
+
+
+def port_sam_state_dict(
+    state_dict: Mapping[str, Any], depth: int, finetune_grid: int
+) -> dict:
+    """Convert an HF ``SamVisionEncoder`` state dict (``vision_encoder.*`` of
+    facebook/sam-vit-*) to the Flax ``SamViT`` tree.
+
+    The native 64x64 spatial pos-embed table is resized to the fine-tune
+    grid with antialiased bicubic, mirroring the reference's init-time
+    ``_resize_pos_embed`` (reference vit_sam.py:142-176). rel_pos_h/w are
+    dropped (the reference disables rel-pos, vit_sam.py:71-75); the neck is
+    dropped (forward bypasses it, vit_sam.py:103-139).
+    """
+    import torch
+    import torch.nn.functional as F
+
+    pos = state_dict["pos_embed"]
+    if not hasattr(pos, "detach"):
+        pos = torch.as_tensor(np.asarray(pos))
+    if pos.shape[1] != finetune_grid:
+        pos = pos.permute(0, 3, 1, 2)
+        pos = F.interpolate(
+            pos.float(), size=(finetune_grid, finetune_grid), mode="bicubic",
+            antialias=True,
+        )
+        pos = pos.permute(0, 2, 3, 1)
+    params: dict[str, Any] = {
+        "pos_embed": _to_numpy(pos),
+        "patch_embed": {
+            "kernel": _conv_kernel(state_dict["patch_embed.projection.weight"]),
+            "bias": _to_numpy(state_dict["patch_embed.projection.bias"]),
+        },
+    }
+    for i in range(depth):
+        hf = f"layers.{i}"
+        params[f"block{i}"] = {
+            "ln1": _ln(state_dict, f"{hf}.layer_norm1"),
+            "qkv": _dense(state_dict, f"{hf}.attn.qkv"),
+            "proj": _dense(state_dict, f"{hf}.attn.proj"),
+            "ln2": _ln(state_dict, f"{hf}.layer_norm2"),
+            "lin1": _dense(state_dict, f"{hf}.mlp.lin1"),
+            "lin2": _dense(state_dict, f"{hf}.mlp.lin2"),
+        }
+    return params
+
+
+def port_hiera_state_dict(state_dict: Mapping[str, Any], num_blocks: int) -> dict:
+    """Convert an HF ``Sam2HieraDetModel`` state dict (the
+    ``vision_encoder.backbone`` of facebook/sam2.1-hiera-*) to the Flax
+    ``Hiera`` tree. Positional embeddings move NCHW -> NHWC."""
+    params: dict[str, Any] = {
+        "pos_embed": _to_numpy(state_dict["pos_embed"]).transpose(0, 2, 3, 1),
+        "pos_embed_window": _to_numpy(
+            state_dict["pos_embed_window"]
+        ).transpose(0, 2, 3, 1),
+        "patch_embed": {
+            "kernel": _conv_kernel(state_dict["patch_embed.projection.weight"]),
+            "bias": _to_numpy(state_dict["patch_embed.projection.bias"]),
+        },
+    }
+    for i in range(num_blocks):
+        hf = f"blocks.{i}"
+        block: dict[str, Any] = {
+            "ln1": _ln(state_dict, f"{hf}.layer_norm1"),
+            "attn": {
+                "qkv": _dense(state_dict, f"{hf}.attn.qkv"),
+                "proj": _dense(state_dict, f"{hf}.attn.proj"),
+            },
+            "ln2": _ln(state_dict, f"{hf}.layer_norm2"),
+            "fc1": _dense(state_dict, f"{hf}.mlp.proj_in"),
+            "fc2": _dense(state_dict, f"{hf}.mlp.proj_out"),
+        }
+        if f"{hf}.proj.weight" in state_dict:
+            block["proj"] = _dense(state_dict, f"{hf}.proj")
+        params[f"block{i}"] = block
+    return params
+
+
+def _resize_token_pos_embed(pos: Any, target_grid: int, num_prefix: int = 1) -> np.ndarray:
+    """Bicubic-resize a (1, prefix + g*g, D) token pos-embed table to
+    ``target_grid`` (HF ``interpolate_pos_encoding`` semantics: fp32
+    bicubic, align_corners=False). Port-time equivalent of the in-forward
+    interpolation at a fixed fine-tune resolution."""
+    import torch
+    import torch.nn.functional as F
+
+    p = pos if hasattr(pos, "detach") else torch.as_tensor(np.asarray(pos))
+    n_grid = p.shape[1] - num_prefix
+    src = int(round(float(n_grid) ** 0.5))
+    if src == target_grid:
+        return _to_numpy(p)
+    prefix, grid_pos = p[:, :num_prefix], p[:, num_prefix:]
+    d = p.shape[-1]
+    grid_pos = grid_pos.reshape(1, src, src, d).permute(0, 3, 1, 2)
+    grid_pos = F.interpolate(
+        grid_pos.float(), size=(target_grid, target_grid), mode="bicubic",
+        align_corners=False,
+    )
+    grid_pos = grid_pos.permute(0, 2, 3, 1).reshape(1, target_grid * target_grid, d)
+    return _to_numpy(torch.cat([prefix.float(), grid_pos], dim=1))
+
+
+def _strip_to_submodel(state_dict: Mapping[str, Any], prefixes: list[str]) -> dict:
+    """If any key starts with one of ``prefixes``, keep only those keys with
+    the prefix stripped (extracts e.g. the vision encoder from a full
+    SamModel/Sam2Model checkpoint)."""
+    for prefix in prefixes:
+        sub = {
+            k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)
+        }
+        if sub:
+            return sub
+    return dict(state_dict)
+
+
+def port_backbone_checkpoint(
+    backbone_arch: str, checkpoint_path: str, image_size: int = 256
+) -> dict:
+    """Port a local torch checkpoint for any backbone architecture.
+
+    Single entry point replacing the reference's per-source download+remap
+    logic (reference backbones/factory.py:238-334 and the HF wrappers in
+    vit*.py). Detects and strips container prefixes (full SamModel /
+    Sam2Model / lightning 'vit_mae.' checkpoints, MMPose 'backbone.'), and
+    resizes position embeddings to the fine-tune grid at port time.
+
+    Returns {"params": tree} (+ "batch_stats" for convnets) shaped to merge
+    under the model's ``backbone`` collection.
+    """
+    state_dict = load_torch_checkpoint(checkpoint_path)
+    grid = image_size // 16
+
+    if backbone_arch.startswith("resnet"):
+        from lightning_pose_tpu.models.backbones.resnet import RESNET_CONFIGS
+
+        arch = "resnet50" if backbone_arch.startswith("resnet50_") else backbone_arch
+        stage_sizes, bottleneck, _ = RESNET_CONFIGS[arch]
+        params, batch_stats = port_resnet_state_dict(
+            state_dict, tuple(stage_sizes), bottleneck
+        )
+        return {"params": params, "batch_stats": batch_stats}
+
+    if backbone_arch.startswith("efficientnet"):
+        from lightning_pose_tpu.models.backbones.efficientnet import (
+            EFFICIENTNET_CONFIGS,
+        )
+
+        variant = backbone_arch.split("_")[-1]
+        params, batch_stats = port_efficientnet_state_dict(state_dict, variant)
+        return {"params": params, "batch_stats": batch_stats}
+
+    if backbone_arch.endswith("_sam2"):
+        from lightning_pose_tpu.models.backbones.hiera import HIERA_CONFIGS
+
+        sd = _strip_to_submodel(
+            state_dict, ["vision_encoder.backbone.", "image_encoder.trunk."]
+        )
+        n_blocks = sum(HIERA_CONFIGS[backbone_arch]["blocks_per_stage"])
+        return {"params": port_hiera_state_dict(sd, n_blocks)}
+
+    from lightning_pose_tpu.models.backbones.vit import VIT_CONFIGS
+
+    size_key = backbone_arch.split("_")[0]
+    _, depth, num_heads, _ = VIT_CONFIGS[size_key]
+
+    if backbone_arch == "vitb_sam":
+        sd = _strip_to_submodel(state_dict, ["vision_encoder."])
+        return {"params": port_sam_state_dict(sd, depth, finetune_grid=grid)}
+    if backbone_arch.endswith("_dinov2"):
+        params = port_dinov2_state_dict(state_dict, depth, patch_size=16)
+        params["pos_embed"] = _resize_token_pos_embed(params["pos_embed"], grid)
+        return {"params": params}
+    if backbone_arch.endswith("_dinov3"):
+        return {"params": port_dinov3_state_dict(state_dict, depth)}
+
+    # plain HF ViTModel family (dino, vit-mae); lightning MAE checkpoints
+    # prefix with 'vit_mae.vit.' (reference vit.py:72-81), HF with 'vit.'
+    sd = _strip_to_submodel(state_dict, ["vit_mae.vit.", "vit."])
+    params = port_vit_state_dict(sd, depth, num_heads)
+    params["pos_embed"] = _resize_token_pos_embed(params["pos_embed"], grid)
+    return {"params": params}
+
+
+def port_efficientnet_state_dict(
+    state_dict: Mapping[str, Any], variant: str
+) -> tuple[dict, dict]:
+    """Convert a torchvision ``efficientnet_b0/b1/b2`` state dict to Flax
+    trees matching :class:`...backbones.efficientnet.EfficientNet`.
+
+    torchvision layout: ``features.0`` stem ConvNormActivation, ``features.1
+    .. 7`` MBConv stages (block sublayers: [expand,] depthwise, SE,
+    project), ``features.8`` head ConvNormActivation (reference
+    backbones/factory.py:302-316 loads these via torchvision weights).
+    """
+    from lightning_pose_tpu.models.backbones.efficientnet import (
+        _BASE_STAGES,
+        _round_repeats,
+        EFFICIENTNET_CONFIGS,
+    )
+
+    _, depth_mult, _ = EFFICIENTNET_CONFIGS[variant]
+    params: dict[str, Any] = {}
+    batch_stats: dict[str, Any] = {}
+
+    def bn_pair(prefix: str) -> tuple[dict, dict]:
+        return (
+            {
+                "scale": _to_numpy(state_dict[f"{prefix}.weight"]),
+                "bias": _to_numpy(state_dict[f"{prefix}.bias"]),
+            },
+            {
+                "mean": _to_numpy(state_dict[f"{prefix}.running_mean"]),
+                "var": _to_numpy(state_dict[f"{prefix}.running_var"]),
+            },
+        )
+
+    def conv(key: str, bias_key: str | None = None) -> dict:
+        out = {"kernel": _conv_kernel(state_dict[key])}
+        if bias_key and bias_key in state_dict:
+            out["bias"] = _to_numpy(state_dict[bias_key])
+        return out
+
+    params["stem_conv"] = conv("features.0.0.weight")
+    params["stem_bn"], batch_stats["stem_bn"] = bn_pair("features.0.1")
+
+    for stage, (expand, _, layers, _, _) in enumerate(_BASE_STAGES):
+        for i in range(_round_repeats(layers, depth_mult)):
+            tvp = f"features.{stage + 1}.{i}.block"
+            blk: dict[str, Any] = {}
+            stats: dict[str, Any] = {}
+            idx = 0
+            if expand != 1:
+                blk["expand_conv"] = conv(f"{tvp}.{idx}.0.weight")
+                blk["expand_bn"], stats["expand_bn"] = bn_pair(f"{tvp}.{idx}.1")
+                idx += 1
+            blk["dw_conv"] = conv(f"{tvp}.{idx}.0.weight")
+            blk["dw_bn"], stats["dw_bn"] = bn_pair(f"{tvp}.{idx}.1")
+            idx += 1
+            blk["se"] = {
+                "reduce": conv(f"{tvp}.{idx}.fc1.weight", f"{tvp}.{idx}.fc1.bias"),
+                "expand": conv(f"{tvp}.{idx}.fc2.weight", f"{tvp}.{idx}.fc2.bias"),
+            }
+            idx += 1
+            blk["project_conv"] = conv(f"{tvp}.{idx}.0.weight")
+            blk["project_bn"], stats["project_bn"] = bn_pair(f"{tvp}.{idx}.1")
+            params[f"stage{stage + 1}_{i}"] = blk
+            batch_stats[f"stage{stage + 1}_{i}"] = stats
+
+    params["head_conv"] = conv("features.8.0.weight")
+    params["head_bn"], batch_stats["head_bn"] = bn_pair("features.8.1")
+    return params, batch_stats

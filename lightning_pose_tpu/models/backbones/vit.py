@@ -124,9 +124,14 @@ class ViT(nn.Module):
         tokens = tokens + pos[:, 1:].astype(self.dtype)
         return tokens, (gh, gw)
 
-    def encode_tokens(self, tokens: jax.Array) -> jax.Array:
+    def encode_tokens(
+        self, tokens: jax.Array, grid: tuple[int, int] | None = None,
+        num_views: int = 1,
+    ) -> jax.Array:
         """Run the transformer blocks + final layernorm over any token
-        sequence (used by the multiview model on view-concatenated tokens)."""
+        sequence (used by the multiview model on view-concatenated tokens).
+        ``grid``/``num_views`` are accepted for interface parity with the
+        DINOv2/v3 backbones (unused — position info was added in embed)."""
         for block in self.blocks:
             tokens = block(tokens)
         return self.ln(tokens)
@@ -147,14 +152,15 @@ def _resize_pos_embed(
     pos: jax.Array, pretrained_grid: int, grid: tuple[int, int]
 ) -> jax.Array:
     """Bicubic-resize the spatial part of the position embedding to ``grid``
-    (reference vit_dino.py:121-146 interpolation semantics)."""
+    (torch-exact kernel — matches HF ``interpolate_pos_encoding`` and the
+    reference vit_dino.py:121-146 interpolation semantics)."""
+    from lightning_pose_tpu.ops.interpolate import bicubic_resize_2d
+
     gh, gw = grid
     if (pretrained_grid, pretrained_grid) == (gh, gw):
         return pos
     cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
     grid_pos = grid_pos.reshape(1, pretrained_grid, pretrained_grid, -1)
-    grid_pos = jax.image.resize(
-        grid_pos, (1, gh, gw, grid_pos.shape[-1]), method="bicubic"
-    )
+    grid_pos = bicubic_resize_2d(grid_pos, (gh, gw), align_corners=False)
     grid_pos = grid_pos.reshape(1, gh * gw, -1)
     return jnp.concatenate([cls_pos, grid_pos], axis=1)

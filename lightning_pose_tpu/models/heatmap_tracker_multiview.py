@@ -21,8 +21,8 @@ from flax import linen as nn
 
 from lightning_pose_tpu.models.backbones.factory import (
     ALLOWED_TRANSFORMER_BACKBONES_MULTIVIEW,
+    make_transformer_module,
 )
-from lightning_pose_tpu.models.backbones.vit import VIT_CONFIGS, ViT
 from lightning_pose_tpu.models.heads.heatmap import HeatmapHead
 from lightning_pose_tpu.ops.softargmax import run_subpixelmaxima
 
@@ -46,17 +46,12 @@ class HeatmapTrackerMultiviewTransformer(nn.Module):
                 f"transformer models; allowed: "
                 f"{ALLOWED_TRANSFORMER_BACKBONES_MULTIVIEW}"
             )
-        size_key = self.backbone_arch.split("_")[0]
-        embed_dim, depth, num_heads, patch = VIT_CONFIGS[size_key]
-        self.embed_dim = embed_dim
-        self.backbone = ViT(
-            embed_dim=embed_dim,
-            depth=depth,
-            num_heads=num_heads,
-            patch_size=patch,
-            pretrained_grid=self.image_size // patch,
-            dtype=self.dtype,
+        # real family per name: plain ViT (dino/imagenet), DINOv2 with
+        # LayerScale, DINOv3 with RoPE — all expose embed/encode_tokens
+        self.backbone, embed_dim = make_transformer_module(
+            self.backbone_arch, self.image_size, self.dtype
         )
+        self.embed_dim = embed_dim
         # learnable per-view embeddings (reference :107-115)
         self.view_embeddings = self.param(
             "view_embeddings",
@@ -85,7 +80,8 @@ class HeatmapTrackerMultiviewTransformer(nn.Module):
         tokens = tokens + view_emb_flat[:, None, :]
         tokens = tokens.reshape(b, v * n, self.embed_dim)
 
-        tokens = self.backbone.encode_tokens(tokens)  # cross-view attention
+        # cross-view attention (DINOv3 gets per-view RoPE coordinate tables)
+        tokens = self.backbone.encode_tokens(tokens, grid=(gh, gw), num_views=v)
 
         # back to per-view NHWC feature maps for the shared head
         feats = tokens.reshape(b * v, gh, gw, self.embed_dim)

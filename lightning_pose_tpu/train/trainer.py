@@ -634,55 +634,25 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     # (replaces the reference's torchvision/MMPose downloads,
     # reference backbones/factory.py:238-334)
     bb_ckpt = cfg.model.get("backbone_checkpoint")
-    if bb_ckpt and os.path.isfile(str(bb_ckpt)) and str(
-        cfg.model.backbone
-    ).startswith("vit"):
-        from lightning_pose_tpu.models.backbones.torch_port import (
-            load_torch_checkpoint,
-            port_vit_state_dict,
-        )
-        from lightning_pose_tpu.models.backbones.vit import VIT_CONFIGS
-
-        size_key = str(cfg.model.backbone).split("_")[0]
-        _, depth, num_heads, _ = VIT_CONFIGS[size_key]
-        sd = load_torch_checkpoint(str(bb_ckpt))
-        sd = {k.removeprefix("vit."): v for k, v in sd.items()}
+    if bb_ckpt and os.path.isfile(str(bb_ckpt)):
         import flax.serialization
 
-        params = dict(params)
-        params["backbone"] = flax.serialization.from_state_dict(
-            params["backbone"], port_vit_state_dict(sd, depth, num_heads)
-        )
-        logger.info(f"loaded pretrained ViT backbone weights from {bb_ckpt}")
-    elif bb_ckpt and os.path.isfile(str(bb_ckpt)) and str(
-        cfg.model.backbone
-    ).startswith(("resnet",)):
-        from lightning_pose_tpu.models.backbones.resnet import RESNET_CONFIGS
         from lightning_pose_tpu.models.backbones.torch_port import (
-            load_torch_checkpoint,
-            port_resnet_state_dict,
+            port_backbone_checkpoint,
         )
 
-        arch = (
-            "resnet50"
-            if str(cfg.model.backbone).startswith("resnet50_")
-            else str(cfg.model.backbone)
+        pretrained = port_backbone_checkpoint(
+            str(cfg.model.backbone), str(bb_ckpt), image_size=height
         )
-        stage_sizes, bottleneck, _ = RESNET_CONFIGS[arch]
-        sd = load_torch_checkpoint(str(bb_ckpt))
-        bb_params, bb_stats = port_resnet_state_dict(
-            sd, tuple(stage_sizes), bottleneck
-        )
-        import flax.serialization
-
         params = dict(params)
         params["backbone"] = flax.serialization.from_state_dict(
-            params["backbone"], bb_params
+            params["backbone"], pretrained["params"]
         )
-        batch_stats = dict(batch_stats)
-        batch_stats["backbone"] = flax.serialization.from_state_dict(
-            batch_stats["backbone"], bb_stats
-        )
+        if pretrained.get("batch_stats"):
+            batch_stats = dict(batch_stats)
+            batch_stats["backbone"] = flax.serialization.from_state_dict(
+                batch_stats["backbone"], pretrained["batch_stats"]
+            )
         logger.info(f"loaded pretrained backbone weights from {bb_ckpt}")
 
     # optional warm-start (reference models/factory.py:211-229)
