@@ -245,8 +245,8 @@ class Model:
             preds.append((np.asarray(kp)[valid], np.asarray(conf)[valid]))
         handler = PredictionHandler(cfg=cfg, data_module=data_module)
         df = handler(preds)
-        if not add_train_val_test_set and ("set", "", "") in df.columns:
-            df = df.drop(columns=[("set", "", "")])
+        # the written CSV always keeps the 'set' column — metrics key the
+        # labeled-vs-video dispatch off it (reference metrics.py:211-216)
 
         out_dir = Path(output_dir) if output_dir else (
             self.image_preds_dir() / Path(csv_file).name
@@ -387,29 +387,109 @@ class Model:
                     logger.warning(f"metrics failed ({view_name}): {e}")
         return out
 
-    def predict_frame(self, frame: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Predict keypoints for one RGB frame (H, W, 3) uint8
-        (reference model.py:747).
+    def predict_frame(
+        self,
+        frame_rgb: np.ndarray,
+        bbox: tuple[int, int, int, int] | None = None,
+    ) -> dict[str, np.ndarray]:
+        """Single-frame inference, no file IO (reference model.py:747-960).
 
-        Returns ((K, 2) keypoints in original frame coords, (K,) confidences).
+        Args:
+            frame_rgb: ``(H, W, 3)`` uint8 RGB array for standard models;
+                ``(T, H, W, 3)`` for context (MHCRNN) models (T is the
+                temporal context length, typically 5); ``(V, H, W, 3)`` for
+                multiview models (one frame per view, cfg view order).
+            bbox: optional ``(x, y, w, h)`` crop region; keypoints are
+                remapped back to original frame coordinates.
+
+        Returns:
+            {"keypoints": (K, 2) float32 (x, y) original-frame coords
+             (view-major for multiview), "confidence": (K,) float32}.
         """
         self._load()
         import cv2
 
+        if frame_rgb.dtype != np.uint8:
+            raise ValueError(
+                f"frame_rgb must be uint8, got {frame_rgb.dtype}. "
+                "Convert with frame.astype(np.uint8) if values are in [0, 255]."
+            )
+        is_stack_input = frame_rgb.ndim == 4
+        if frame_rgb.ndim not in (3, 4) or frame_rgb.shape[-1] != 3:
+            raise ValueError(
+                f"frame_rgb must be (H, W, 3) or (T, H, W, 3), got shape "
+                f"{frame_rgb.shape}"
+            )
+        if frame_rgb.size == 0:
+            raise ValueError("frame_rgb is empty")
+
+        model_type = str(self.cfg.model.model_type)
+        is_context_model = model_type == "heatmap_mhcrnn"
+        is_multiview_model = model_type == "heatmap_multiview"
+        if is_context_model and not is_stack_input:
+            raise ValueError(
+                "Context model requires frame_rgb of shape (T, H, W, 3) "
+                "where T is the temporal context length (typically 5). "
+                "Use predict_on_video_file for single-frame input."
+            )
+        if is_multiview_model:
+            nv = int(self._meta.get("num_views", 1) or 1)
+            if not is_stack_input or frame_rgb.shape[0] != nv:
+                raise ValueError(
+                    f"Multiview model requires frame_rgb of shape "
+                    f"({nv}, H, W, 3), one frame per view in cfg order."
+                )
+
+        # crop (x, y, w, h), remembering actual crop dims for the remap
+        if bbox is not None:
+            bx, by, bw, bh = bbox
+            if bx < 0 or by < 0:
+                raise ValueError(
+                    f"bbox origin must be non-negative, got x={bx}, y={by}"
+                )
+            if bw <= 0 or bh <= 0:
+                raise ValueError(
+                    f"bbox width and height must be positive, got w={bw}, h={bh}"
+                )
+            crop = (
+                frame_rgb[:, by:by + bh, bx:bx + bw]
+                if is_stack_input
+                else frame_rgb[by:by + bh, bx:bx + bw]
+            )
+            if crop.size == 0:
+                raise ValueError(
+                    f"bbox (x={bx}, y={by}, w={bw}, h={bh}) produces an "
+                    f"empty crop on frame of shape {frame_rgb.shape}"
+                )
+            actual_h, actual_w = crop.shape[-3], crop.shape[-2]
+            bbox_lp = np.array(
+                [[bx, by, actual_h, actual_w]], dtype=np.float32
+            )
+        else:
+            crop = frame_rgb
+            fh, fw = frame_rgb.shape[-3], frame_rgb.shape[-2]
+            bbox_lp = np.array([[0.0, 0.0, fh, fw]], dtype=np.float32)
+
         height = int(self.cfg.data.image_resize_dims.height)
         width = int(self.cfg.data.image_resize_dims.width)
-        orig_h, orig_w = frame.shape[:2]
-        resized = cv2.resize(frame, (width, height), interpolation=cv2.INTER_LINEAR)
-        if self.cfg.model.model_type == "heatmap_mhcrnn":
-            images = np.tile(resized[None, None], (1, 5, 1, 1, 1))
+
+        def resize(img):
+            return cv2.resize(img, (width, height), interpolation=cv2.INTER_LINEAR)
+
+        if is_stack_input:
+            images = np.stack([resize(crop[i]) for i in range(crop.shape[0])])[None]
         else:
-            images = resized[None]
-        bbox = np.array([[0.0, 0.0, orig_h, orig_w]], dtype=np.float32)
-        if self.cfg.model.model_type == "heatmap_mhcrnn":
-            bbox = np.tile(bbox, (5, 1))
-        kp, conf = self._predict_fn(self._state, images, bbox)
-        kp = np.asarray(kp)[0].reshape(-1, 2)
-        return kp, np.asarray(conf)[0]
+            images = resize(crop)[None]
+        if is_multiview_model:
+            # per-view bbox slices (all views share the frame/crop dims here)
+            bbox_lp = np.tile(bbox_lp[:, None, :], (1, images.shape[1], 1))
+
+        kp, conf = self._predict_fn(self._state, images, bbox_lp)
+        kp = np.asarray(kp)[0].reshape(-1, 2).astype(np.float32)
+        return {
+            "keypoints": kp,
+            "confidence": np.asarray(conf)[0].astype(np.float32),
+        }
 
     # -- export / compile -------------------------------------------------------------
 

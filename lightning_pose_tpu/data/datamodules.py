@@ -48,6 +48,10 @@ def collate_batch(
         batch[key] = np.stack([np.asarray(s[key]) for s in samples])
     if pad > 0:
         batch["visibility"][n:] = 0  # padded samples drop out of masked losses
+        # NaN the duplicated labels too so NaN-masked metrics (pixel RMSE)
+        # don't count pad rows and bias logged val/test numbers
+        batch["keypoints"] = batch["keypoints"].astype(np.float32, copy=True)
+        batch["keypoints"][n:] = np.nan
     return batch
 
 
@@ -57,6 +61,45 @@ class Split:
 
     def __len__(self) -> int:
         return len(self.indices)
+
+
+def split_sizes_from_probabilities(
+    total_number: int,
+    train_probability: float,
+    val_probability: float | None = None,
+    test_probability: float | None = None,
+) -> tuple[int, int, int]:
+    """Train/val/test counts from probabilities (reference
+    data/utils.py:17-73): remainder split 50/50 between val and test when
+    only train_probability is given; <5 leftover frames go to train; at
+    least one validation sample."""
+    if test_probability is None and val_probability is None:
+        remaining = 1.0 - train_probability
+        val_probability = round(remaining / 2, 5)
+        test_probability = round(remaining / 2, 5)
+    elif test_probability is None:
+        assert val_probability is not None
+        test_probability = 1.0 - train_probability - val_probability
+    assert val_probability is not None
+    if abs(train_probability + val_probability + test_probability - 1.0) > 1e-6:
+        raise ValueError("train/val/test probabilities must sum to 1")
+
+    train_number = int(math.floor(train_probability * total_number))
+    val_number = int(math.floor(val_probability * total_number))
+    leftover = total_number - train_number - val_number
+    if leftover < 5:
+        train_number += leftover
+        test_number = 0
+    else:
+        test_number = leftover
+    if val_number == 0:
+        train_number -= 1
+        val_number += 1
+        if train_number < 1:
+            raise ValueError(
+                "Must have at least two labeled frames, one train and one validation"
+            )
+    return train_number, val_number, test_number
 
 
 class BaseDataModule:
@@ -87,21 +130,12 @@ class BaseDataModule:
 
     def _setup(self) -> None:
         n = len(self.dataset)
-        # split sizes (reference datamodules.py:96-131 semantics)
-        train_n = int(math.floor(self.train_probability * n))
-        if self.val_probability is not None:
-            val_n = int(math.floor(self.val_probability * n))
-        elif self.test_probability is not None:
-            val_n = n - train_n - int(math.floor(self.test_probability * n))
-        else:
-            val_n = n - train_n
-        test_n = n - train_n - val_n
-
-        if train_n <= 0 or val_n < 0 or test_n < 0:
-            raise ValueError(
-                f"invalid split sizes (train={train_n}, val={val_n}, test={test_n}) "
-                f"for dataset of {n} frames"
-            )
+        train_n, val_n, test_n = split_sizes_from_probabilities(
+            n,
+            self.train_probability,
+            self.val_probability,
+            self.test_probability,
+        )
 
         rng = np.random.default_rng(self.torch_seed)
         perm = rng.permutation(n)

@@ -89,15 +89,127 @@ class MultiviewHeatmapDataset:
         # flat list used by single-view-style consumers
         self.image_names = first.image_names
 
-        # optional camera calibration (reference datasets.py:674-760)
-        self.camera_params = None
+        # optional camera calibration (reference datasets.py:674-760).
+        # Three input formats, in the reference's precedence order:
+        # 1) camera_params_file = frame-map CSV (index = image paths, 'file'
+        #    column = anipose calibration TOML per frame/session) — the
+        #    reference's native format (datasets.py:674-697)
+        # 2) camera_params_file = a single anipose TOML, or the legacy
+        #    one-row-per-view K/RT/d CSV (this repo's round-1 extra format)
+        # 3) no camera_params_file: path-based discovery from
+        #    labeled-data/<session>_<view>/ -> calibrations/<session>.toml,
+        #    falling back to calibration.toml (datasets.py:698-760)
+        self.root_directory = data_dir
+        self.camera_params = None  # single calibration shared by all frames
+        self._calib_by_file: dict[str, dict] = {}
+        self._calib_file_per_frame: list[str] | None = None
         cam_file = cfg.data.get("camera_params_file", None)
         if cam_file:
             path = cam_file if os.path.isabs(cam_file) else os.path.join(data_dir, cam_file)
-            if os.path.exists(path):
-                self.camera_params = self._load_cam_params_from_csv(path)
-            else:
+            if not os.path.exists(path):
                 logger.warning(f"camera_params_file not found: {path}")
+            elif str(path).endswith(".toml"):
+                self.camera_params = self._load_calib_toml(str(path))
+            else:
+                import pandas as pd
+
+                df = pd.read_csv(path, index_col=0)
+                if "file" in df.columns:
+                    self._load_cam_params_from_frame_map(df)
+                else:
+                    self.camera_params = self._load_cam_params_from_csv(path)
+        else:
+            self._discover_cam_params_from_image_paths()
+
+    # -- calibration loading ------------------------------------------------------
+
+    def _load_calib_toml(self, path: str) -> dict:
+        """Load an anipose TOML, checking camera names against view_names
+        (reference datasets.py:656-672)."""
+        from lightning_pose_tpu.data.anipose import load_anipose_toml
+
+        calib = load_anipose_toml(path)
+        if calib["names"] != list(self.view_names):
+            raise ValueError(
+                "cfg.data.view_names must have same camera order as camera "
+                f"calibration file; instead found {list(self.view_names)} and "
+                f"{calib['names']} in {path}."
+            )
+        return calib
+
+    def _load_cam_params_from_frame_map(self, df) -> None:
+        """Reference frame-map CSV: one row per labeled frame, 'file' column
+        names the anipose TOML (relative to the data dir). Frame order must
+        match the first view's image names (reference datasets.py:674-697)."""
+        img_idxs_labels = [i.split("/")[-1] for i in self.image_names]
+        img_idxs_calib = [str(i).split("/")[-1] for i in df.index]
+        if img_idxs_labels != img_idxs_calib:
+            raise ValueError(
+                "camera_params_file rows must match the label CSV frames "
+                "(same order, same filenames)"
+            )
+        files = [str(f) for f in df["file"]]
+        for f in set(files):
+            path = f if os.path.isabs(f) else os.path.join(self.root_directory, f)
+            self._calib_by_file[f] = self._load_calib_toml(path)
+        self._calib_file_per_frame = files
+
+    def _discover_cam_params_from_image_paths(self) -> None:
+        """Per-session TOML discovery from image paths
+        (reference datasets.py:698-760): labeled-data/<session>_<view>/img.ext
+        -> calibrations/<session>.toml, else calibration.toml; disabled
+        entirely if any frame has no calibration."""
+        files = []
+        for img_name in self.image_names:
+            parts = img_name.replace("\\", "/").split("/")
+            try:
+                ld_idx = parts.index("labeled-data")
+                folder = parts[ld_idx + 1]
+            except (ValueError, IndexError):
+                return  # not the expected layout; no calibration
+            if "_" not in folder:
+                return
+            session = folder.rsplit("_", 1)[0]
+            by_session = os.path.join("calibrations", f"{session}.toml")
+            if os.path.exists(os.path.join(self.root_directory, by_session)):
+                files.append(by_session)
+            elif os.path.exists(os.path.join(self.root_directory, "calibration.toml")):
+                files.append("calibration.toml")
+            else:
+                if files:
+                    logger.warning(
+                        "calibration file not found for some frames; "
+                        "disabling 3D for entire dataset"
+                    )
+                return
+        try:
+            for f in set(files):
+                self._calib_by_file[f] = self._load_calib_toml(
+                    os.path.join(self.root_directory, f)
+                )
+        except ValueError as e:
+            logger.warning(f"calibration load failed: {e}")
+            self._calib_by_file = {}
+            return
+        self._calib_file_per_frame = files
+        if files:
+            logger.info(
+                f"discovered anipose calibration for {len(files)} frames "
+                f"({len(self._calib_by_file)} file(s))"
+            )
+
+    @property
+    def is_calibrated(self) -> bool:
+        return self.camera_params is not None or (
+            self._calib_file_per_frame is not None
+        )
+
+    def frame_calibration(self, idx: int) -> dict | None:
+        """Camera arrays for frame ``idx`` (per-frame TOML mapping when
+        present, else the shared calibration), or None."""
+        if self._calib_file_per_frame is not None:
+            return self._calib_by_file[self._calib_file_per_frame[idx]]
+        return self.camera_params
 
     def _load_cam_params_from_csv(self, path: str) -> dict:
         """Load per-view intrinsics (3x3), extrinsics (3x4), distortion (5,)
@@ -145,8 +257,9 @@ class MultiviewHeatmapDataset:
             "idx": idx,
             "num_views": len(self.view_names),
         }
-        if self.camera_params is not None:
-            sample["intrinsic_matrix"] = self.camera_params["intrinsics"]
-            sample["extrinsic_matrix"] = self.camera_params["extrinsics"]
-            sample["distortions"] = self.camera_params["distortions"]
+        calib = self.frame_calibration(idx)
+        if calib is not None:
+            sample["intrinsic_matrix"] = calib["intrinsics"]
+            sample["extrinsic_matrix"] = calib["extrinsics"]
+            sample["distortions"] = calib["distortions"]
         return sample

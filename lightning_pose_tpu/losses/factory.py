@@ -68,7 +68,12 @@ def get_loss_factories(cfg, data_module=None) -> dict[str, "LossFactory"]:
         loss_params["supervised"][loss_name] = {"log_weight": 0.0}
         # supervised 3D losses for calibrated multiview models
         # (reference factory.py:102-128)
-        if "multiview" in cfg.model.model_type and cfg.data.get("camera_params_file"):
+        dataset_calibrated = bool(
+            getattr(getattr(data_module, "dataset", None), "is_calibrated", False)
+        )
+        if "multiview" in cfg.model.model_type and (
+            cfg.data.get("camera_params_file") or dataset_calibrated
+        ):
             lw_sp = cfg.losses.get("supervised_pairwise_projections", None)
             if lw_sp is not None and lw_sp.get("log_weight") is not None:
                 logger.info("adding supervised pairwise projection loss")

@@ -220,19 +220,18 @@ def _equalize_hist(images: jax.Array, clip_limit: jax.Array | None = None) -> ja
 
 
 def _emboss(images: jax.Array, alpha: jax.Array, strength: jax.Array) -> jax.Array:
-    """imgaug-style emboss: overlay embossed image with per-image alpha."""
+    """imgaug-style emboss: overlay embossed image with per-image alpha.
+
+    imgaug's effect kernel is ``[[-1-s, -s, 0], [-s, 1, s], [0, s, 1+s]]``
+    (reference augmentations.py Emboss). Kernels vary per image, so the
+    filter decomposes into two fixed convolutions:
+    ``effect = k_const + s * k_s`` with ``k_const = [[-1,0,0],[0,1,0],
+    [0,0,1]]`` and ``k_s = [[-1,-1,0],[-1,0,1],[0,1,1]]``.
+    """
     s = strength[:, None, None, None]
-    base = jnp.asarray(
-        [[-1.0, -1.0, 0.0], [-1.0, 1.0, 1.0], [0.0, 1.0, 1.0]], dtype=jnp.float32
-    )
-    scale = jnp.asarray(
-        [[1.0, 1.0, 0.0], [1.0, 0.0, 1.0], [0.0, 1.0, 1.0]], dtype=jnp.float32
-    )
     c = images.shape[-1]
-    # kernel = [[-1-s, -s, 0], [-s, 1, s], [0, s, 1+s]] per image — since
-    # kernels vary per image, compute via the two fixed component convs
-    k_base = jnp.asarray(
-        [[0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]], dtype=jnp.float32
+    k_const = jnp.asarray(
+        [[-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=jnp.float32
     )
     k_s = jnp.asarray(
         [[-1.0, -1.0, 0.0], [-1.0, 0.0, 1.0], [0.0, 1.0, 1.0]], dtype=jnp.float32
@@ -245,9 +244,7 @@ def _emboss(images: jax.Array, alpha: jax.Array, strength: jax.Array) -> jax.Arr
             dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
         )
 
-    id_part = images  # conv with k_base == identity
-    s_part = conv(images, k_s)
-    embossed = id_part + s * s_part
+    embossed = conv(images, k_const) + s * conv(images, k_s)
     a = alpha[:, None, None, None]
     return jnp.clip((1 - a) * images + a * embossed, 0, 255)
 
@@ -475,7 +472,7 @@ class AugmentationEngine:
 
         h, w = self.h, self.w
         images = images.astype(jnp.float32)
-        keys = jax.random.split(rng, 24)
+        keys = jax.random.split(rng, 27)
 
         spec = self.spec
         forward = _identity(b)  # keypoint matrix: new = F @ old
@@ -623,7 +620,7 @@ class AugmentationEngine:
         if spec["clahe"] is not None:
             clo, chi = spec["clahe"]["clip"]
             apply_cl = R(jax.random.uniform(keys[22], (b,)) < spec["clahe"]["p"])
-            clip = R(jax.random.uniform(keys[22], (b,), minval=clo, maxval=chi))
+            clip = R(jax.random.uniform(keys[24], (b,), minval=clo, maxval=chi))
             cl = _equalize_hist(out, clip_limit=clip)
             out = jnp.where(apply_cl[:, None, None, None], cl, out)
 
@@ -634,14 +631,14 @@ class AugmentationEngine:
                 jnp.where(
                     apply_em,
                     jax.random.uniform(
-                        keys[23], (b,), minval=em["alpha"][0], maxval=em["alpha"][1]
+                        keys[25], (b,), minval=em["alpha"][0], maxval=em["alpha"][1]
                     ),
                     0.0,
                 )
             )
             em_strength = R(
                 jax.random.uniform(
-                    keys[23], (b,), minval=em["strength"][0],
+                    keys[26], (b,), minval=em["strength"][0],
                     maxval=em["strength"][1],
                 )
             )

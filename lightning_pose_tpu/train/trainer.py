@@ -106,7 +106,10 @@ def make_optimizer(cfg, steps_per_epoch: int, params) -> tuple[Any, Callable]:
     """
     sched_cfg = _resolve_schedule_cfg(cfg, steps_per_epoch)
     base_lr = float(cfg.training.optimizer_params.get("learning_rate", 1e-3))
-    milestones_epochs = [m // steps_per_epoch for m in sched_cfg["milestones_steps"]]
+    # ceil like the reference's milestone_steps conversion (train.py:325-332)
+    milestones_epochs = [
+        math.ceil(m / steps_per_epoch) for m in sched_cfg["milestones_steps"]
+    ]
     head_sched = multistep_lr(
         base_lr, milestones_epochs, sched_cfg["gamma"], steps_per_epoch
     )
@@ -539,6 +542,11 @@ def make_step_fns(
         batch["visibility"] = jnp.where(
             valid[:, None], batch["visibility"], 0
         )
+        # NaN pad-row labels so the logged pixel RMSE ignores them (same
+        # masking collate_batch applies on the host path)
+        batch["keypoints"] = jnp.where(
+            valid[:, None, None], batch["keypoints"], jnp.nan
+        )
         batch["valid"] = valid
         if unlabeled:
             batch["unlabeled"] = unlabeled
@@ -881,6 +889,26 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     logger.info(f"training finished in {time.time() - t_start:.1f}s")
     _write_status(status_file, "EVALUATING")
 
+    # reload the best checkpoint so post-training artifacts reflect exactly
+    # what Model.from_dir will later load from this directory (the reference
+    # evaluates Model.from_dir(model_dir), train.py:438; with early stopping
+    # or late val regressions the final in-memory state can differ)
+    try:
+        best = ckpt_utils.load_checkpoint(best_ckpt_path)
+        import flax.serialization
+
+        state = state.replace(
+            params=flax.serialization.from_state_dict(
+                state.params, best["params"]
+            ),
+            batch_stats=flax.serialization.from_state_dict(
+                state.batch_stats, best["batch_stats"]
+            ),
+        )
+        logger.info(f"reloaded best checkpoint for evaluation: {best_ckpt_path}")
+    except Exception as e:  # never fail the run over eval-state selection
+        logger.warning(f"could not reload best checkpoint ({e}); using final state")
+
     model = TrainedModel(
         cfg=cfg,
         model_dir=model_dir,
@@ -893,10 +921,105 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
 
     if not skip_evaluation:
         _evaluate_on_training_dataset(model)
+        # OOD/test-frame predictions from suffixed label files, silently
+        # skipped when absent (reference train.py:110-113)
+        _evaluate_on_suffixed_csv(model, suffix="_new")
+        _evaluate_on_suffixed_csv(model, suffix="_test")
         _predict_test_videos(model)
 
     _write_status(status_file, "COMPLETED")
     return model
+
+
+def _suffixed_csv_paths(cfg, suffix: str) -> list[Path] | None:
+    """Absolute paths of '<stem><suffix>.csv' label files, or None if the
+    first one does not exist (reference train.py:146-200 skip semantics)."""
+    csv_cfg = cfg.data.csv_file
+    csv_files = [csv_cfg] if isinstance(csv_cfg, str) else list(csv_cfg)
+    out = []
+    for csv_file in csv_files:
+        p = Path(csv_file)
+        if not p.is_absolute():
+            p = Path(cfg.data.data_dir) / p
+        out.append(p.with_stem(p.stem + suffix))
+    if not out[0].exists():
+        return None
+    return out
+
+
+def _evaluate_on_suffixed_csv(model: TrainedModel, suffix: str) -> None:
+    """Predict '<csv_stem><suffix>.csv' label files after training (the
+    reference's '_new'/'_test' OOD evaluation, train.py:110-113,146-246).
+    Writes image_preds/<name>/predictions*.csv (no train/val/test 'set'
+    column) plus suffixed legacy copies in the model dir."""
+    from lightning_pose_tpu.data.datamodules import BaseDataModule
+    from lightning_pose_tpu.data.factory import get_dataset
+    from lightning_pose_tpu.metrics import compute_metrics_single
+    from lightning_pose_tpu.utils.predictions import PredictionHandler
+
+    cfg = model.cfg
+    csv_paths = _suffixed_csv_paths(cfg, suffix)
+    if csv_paths is None:
+        return
+    logger.info(f"Predicting {suffix.lstrip('_')} images...")
+
+    cfg2 = cfg.copy()
+    multiview = not isinstance(cfg.data.csv_file, str)
+    cfg2.data.csv_file = (
+        [str(p) for p in csv_paths] if multiview else str(csv_paths[0])
+    )
+    try:
+        dataset = get_dataset(cfg2, str(cfg.data.data_dir), imgaug_pipeline="default")
+        data_module = BaseDataModule(
+            dataset=dataset,
+            train_batch_size=cfg.training.train_batch_size,
+            val_batch_size=cfg.training.val_batch_size,
+            test_batch_size=cfg.training.test_batch_size,
+            train_probability=cfg.training.train_prob,
+            val_probability=cfg.training.get("val_prob", None),
+            torch_seed=cfg.training.get("rng_seed_data_pt", 42),
+        )
+    except Exception as e:
+        logger.warning(f"could not load {suffix} label files ({e}); skipping")
+        return
+
+    preds = []
+    for batch in data_module.full_batches():
+        kp, conf = model.predict_fn(model.state, batch["images"], batch["bbox"])
+        valid = batch["valid"]
+        preds.append((np.asarray(kp)[valid], np.asarray(conf)[valid]))
+    handler = PredictionHandler(cfg=cfg2, data_module=data_module)
+    result = handler(preds)
+
+    results = (
+        result if isinstance(result, dict) else {None: result}
+    )  # view name -> dataframe
+    view_iter = list(results.items())
+    for i, (view_name, df) in enumerate(view_iter):
+        # the set column stays (all labeled predictions carry it, reference
+        # predictions.py:220-236; compute_metrics keys pixel-error off it)
+        csv_path = csv_paths[i]
+        preds_dir = model.model_dir / "image_preds" / csv_path.name
+        preds_dir.mkdir(parents=True, exist_ok=True)
+        preds_file = preds_dir / "predictions.csv"
+        df.to_csv(preds_file)
+        try:
+            compute_metrics_single(
+                cfg=cfg2,
+                labels_file=str(csv_path),
+                preds_file=str(preds_file),
+                data_module=data_module,
+            )
+        except Exception as e:
+            logger.warning(f"metrics computation failed ({suffix}): {e}")
+        # legacy copies: predictions[_<view>][_<metric>]<suffix>.csv
+        for p_file in preds_dir.glob("predictions*.csv"):
+            stem_rest = p_file.stem[len("predictions"):]
+            out_name = "predictions"
+            if view_name is not None:
+                out_name += f"_{view_name}"
+            out_name += f"{stem_rest}{suffix}.csv"
+            shutil.copy(p_file, model.model_dir / out_name)
 
 
 def _evaluate_on_training_dataset(model: TrainedModel) -> None:

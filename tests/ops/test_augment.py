@@ -128,3 +128,96 @@ def test_video_augment_sequence():
     np.testing.assert_allclose(
         np.asarray(kp_back).reshape(4, 3, 2), kp, rtol=1e-3, atol=1e-3
     )
+
+
+# ------------------------------------------------------------------ cv2 parity
+# imgaug is not installed in this environment, so per-op behavior is
+# cross-checked against cv2 (the library imgaug itself wraps for these ops)
+# with quantified deviation bounds.
+
+
+def test_affine_warp_matches_cv2(rng):
+    """grid_sample with a target->source affine == cv2.warpAffine
+    (WARP_INVERSE_MAP, bilinear, zero border)."""
+    import cv2
+
+    img = rng.uniform(0, 255, size=(40, 48, 3)).astype(np.float32)
+    theta = 0.3
+    m = np.array(
+        [[np.cos(theta), -np.sin(theta), 3.0],
+         [np.sin(theta), np.cos(theta), -2.0]], dtype=np.float32
+    )
+    ref = cv2.warpAffine(
+        img, m, (48, 40),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+    ys, xs = np.meshgrid(np.arange(40), np.arange(48), indexing="ij")
+    grid = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float32)
+    coords = grid @ m.T  # (H, W, 2) source coords
+    out = np.asarray(
+        grid_sample_bilinear(jnp.asarray(img[None]), jnp.asarray(coords[None]))
+    )[0]
+    # interior only: cv2 treats border pixels with partial coverage slightly
+    # differently than pure zero-padding
+    diff = np.abs(out[2:-2, 2:-2] - ref[2:-2, 2:-2])
+    assert diff.max() < 1e-2, f"max deviation {diff.max()}"
+
+
+def test_equalize_hist_matches_cv2(rng):
+    """_equalize_hist (no clip) vs cv2.equalizeHist per channel; small
+    deviations allowed (cv2 anchors the CDF at the first populated bin)."""
+    import cv2
+
+    from lightning_pose_tpu.ops.augment import _equalize_hist
+
+    img = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.float32)
+    img_u8 = img.astype(np.uint8)
+    ref = np.stack(
+        [cv2.equalizeHist(img_u8[..., ch]) for ch in range(3)], axis=-1
+    ).astype(np.float32)
+    out = np.asarray(_equalize_hist(jnp.asarray(img_u8[None].astype(np.float32))))[0]
+    diff = np.abs(out - ref)
+    assert diff.max() <= 3.0, f"max deviation {diff.max()} gray levels"
+
+
+def test_emboss_matches_cv2_kernel(rng):
+    """_emboss == alpha-blend of cv2.filter2D with imgaug's emboss kernel
+    [[-1-s, -s, 0], [-s, 1, s], [0, s, 1+s]] (interior pixels)."""
+    import cv2
+
+    from lightning_pose_tpu.ops.augment import _emboss
+
+    img = rng.uniform(0, 255, size=(24, 24, 3)).astype(np.float32)
+    alpha, strength = 0.7, 0.9
+    k = np.array(
+        [[-1 - strength, -strength, 0],
+         [-strength, 1, strength],
+         [0, strength, 1 + strength]], dtype=np.float32
+    )
+    embossed = cv2.filter2D(img, -1, k, borderType=cv2.BORDER_CONSTANT)
+    ref = np.clip((1 - alpha) * img + alpha * embossed, 0, 255)
+    out = np.asarray(
+        _emboss(
+            jnp.asarray(img[None]),
+            jnp.asarray([alpha], dtype=np.float32),
+            jnp.asarray([strength], dtype=np.float32),
+        )
+    )[0]
+    diff = np.abs(out[1:-1, 1:-1] - ref[1:-1, 1:-1])
+    assert diff.max() < 1e-2, f"max deviation {diff.max()}"
+
+
+def test_clahe_and_emboss_rng_streams_are_independent():
+    """The CLAHE gate/clip and emboss gate/alpha/strength draws use distinct
+    subkeys — gate and magnitude must not be deterministic functions of each
+    other (previously keys[22]/keys[23] were reused)."""
+    import inspect
+
+    from lightning_pose_tpu.ops import augment as aug_mod
+
+    src = inspect.getsource(aug_mod.AugmentationEngine._augment)
+    gate_cl = src.count("keys[22]")
+    assert gate_cl == 1, "CLAHE gate key reused for another draw"
+    gate_em = src.count("keys[23]")
+    assert gate_em == 1, "emboss gate key reused for another draw"

@@ -63,8 +63,14 @@ def test_train_artifact_contract(cfg, tmp_path):
     from lightning_pose_tpu.api.model import Model
 
     m = Model.from_dir(tmp_path)
-    kp, conf = m.predict_frame(np.zeros((406, 396, 3), dtype=np.uint8))
-    assert kp.shape == (17, 2)
+    result = m.predict_frame(np.zeros((406, 396, 3), dtype=np.uint8))
+    assert result["keypoints"].shape == (17, 2)
+    assert result["confidence"].shape == (17,)
+    # bbox crop path remaps back to original coordinates
+    result = m.predict_frame(
+        np.zeros((406, 396, 3), dtype=np.uint8), bbox=(50, 40, 200, 300)
+    )
+    assert result["keypoints"].shape == (17, 2)
 
 
 @pytest.mark.slow
@@ -173,6 +179,12 @@ def test_train_multiview(cfg, mv_data_dir, tmp_path):
     assert set(out.keys()) == {"top", "bot"}
     assert out["top"].shape[0] == 90
 
+    # predict_frame on a multiview model takes one frame per view
+    result = m.predict_frame(np.zeros((2, 168, 396, 3), dtype=np.uint8))
+    assert result["keypoints"].shape == (14, 2)  # view-major 2 views x 7 kps
+    with pytest.raises(ValueError, match="Multiview model requires"):
+        m.predict_frame(np.zeros((168, 396, 3), dtype=np.uint8))
+
 
 @pytest.mark.slow
 def test_cached_and_uncached_steps_equivalent(cfg, toy_data_dir):
@@ -245,3 +257,154 @@ def test_cached_and_uncached_steps_equivalent(cfg, toy_data_dir):
     p1 = np.asarray(s1.params["head"]["deconv0"]["kernel"])
     p2 = np.asarray(s2.params["head"]["deconv0"]["kernel"])
     np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_mhcrnn(cfg, tmp_path):
+    """heatmap_mhcrnn end-to-end through train(): supervised context model
+    with a temporal unlabeled loss (BASELINE config #3; reference exercises
+    every model type via run_model_test, conftest.py:610-651)."""
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "mhcrnn-test")
+    c.model.model_type = "heatmap_mhcrnn"
+    c.model.losses_to_use = ["temporal"]
+    c.training.train_batch_size = 2
+    c.dali.context.train.batch_size = 8
+    model = train(c, model_dir=tmp_path)
+
+    assert (tmp_path / "predictions.csv").exists()
+    assert (tmp_path / "predictions_pixel_error.csv").exists()
+    import json
+
+    status = json.loads((tmp_path / "train_status.json").read_text())
+    assert status["status"] == "COMPLETED"
+
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "predictions.csv", header=[0, 1, 2], index_col=0)
+    assert df.shape[0] == 90
+    numeric = df.loc[:, df.columns.get_level_values(0) != "set"]
+    assert np.isfinite(numeric.to_numpy(dtype=float)).all()
+
+    # the Model API reloads the context model; predict_frame takes a
+    # (T, H, W, 3) context stack and rejects single frames (reference
+    # model.py:830-836)
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(tmp_path)
+    result = m.predict_frame(np.zeros((5, 406, 396, 3), dtype=np.uint8))
+    assert result["keypoints"].shape == (17, 2)
+    assert result["confidence"].shape == (17,)
+    with pytest.raises(ValueError, match="Context model requires"):
+        m.predict_frame(np.zeros((406, 396, 3), dtype=np.uint8))
+
+
+@pytest.mark.slow
+def test_train_semisupervised_pca_singleview_temporal(cfg, tmp_path):
+    """Semi-supervised heatmap with the BASELINE loss combo
+    ['pca_singleview', 'temporal'] through train()."""
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "semisup-pca-test")
+    c.model.losses_to_use = ["pca_singleview", "temporal"]
+    c.training.train_frames = 40  # PCA needs more samples than columns
+    c.dali.base.train.sequence_length = 4
+    train(c, model_dir=tmp_path)
+    assert (tmp_path / "predictions.csv").exists()
+    # the pca_singleview metric side-CSV must be produced
+    assert (tmp_path / "predictions_pca_singleview_error.csv").exists()
+
+
+@pytest.fixture()
+def writable_data_dir(toy_data_dir, tmp_path):
+    """Copy of the example dataset in a writable tmp dir (symlinked images)
+    so tests can add OOD label files next to the training CSV."""
+    import shutil
+
+    d = tmp_path / "data"
+    d.mkdir()
+    os.symlink(
+        os.path.join(toy_data_dir, "labeled-data"), d / "labeled-data"
+    )
+    os.symlink(os.path.join(toy_data_dir, "videos"), d / "videos")
+    shutil.copy(os.path.join(toy_data_dir, "CollectedData.csv"), d)
+    return d
+
+
+@pytest.mark.slow
+def test_train_evaluates_suffixed_label_files(cfg, writable_data_dir, tmp_path):
+    """'<stem>_new.csv' label files get predicted after training with no
+    'set' column (reference train.py:110-113,146-246)."""
+    import pandas as pd
+
+    from lightning_pose_tpu.train import train
+
+    df = pd.read_csv(
+        writable_data_dir / "CollectedData.csv", header=[0, 1, 2], index_col=0
+    )
+    df.iloc[:10].to_csv(writable_data_dir / "CollectedData_new.csv")
+
+    c = _small_train_cfg(cfg, "ood-test")
+    c.data.data_dir = str(writable_data_dir)
+    c.data.video_dir = str(writable_data_dir / "videos")
+    model_dir = tmp_path / "model"
+    train(c, model_dir=model_dir)
+
+    ood_preds = model_dir / "image_preds" / "CollectedData_new.csv" / "predictions.csv"
+    assert ood_preds.exists()
+    ood = pd.read_csv(ood_preds, header=[0, 1, 2], index_col=0)
+    assert ood.shape[0] == 10
+    # legacy copies with suffix in the model dir, incl. the pixel-error CSV
+    assert (model_dir / "predictions_new.csv").exists()
+    assert (model_dir / "predictions_pixel_error_new.csv").exists()
+
+
+def test_split_sizes_from_probabilities():
+    """Reference split semantics (reference data/utils.py:17-73)."""
+    from lightning_pose_tpu.data.datamodules import split_sizes_from_probabilities
+
+    # only train_prob: remainder split 50/50 between val and test
+    assert split_sizes_from_probabilities(100, 0.8) == (80, 10, 10)
+    # <5 leftover goes to train, not test
+    assert split_sizes_from_probabilities(10, 0.7) == (9, 1, 0)
+    assert split_sizes_from_probabilities(100, 0.95) == (98, 2, 0)
+    # explicit val prob
+    assert split_sizes_from_probabilities(100, 0.8, 0.1) == (80, 10, 10)
+    # at least one validation sample
+    assert split_sizes_from_probabilities(2, 0.5)[1] >= 1
+
+
+def test_milestone_steps_round_up(cfg):
+    """Step-mode LR milestones convert to epochs with ceil (reference
+    train.py:325-332): milestone_steps=[150] at 100 steps/epoch fires at
+    epoch 2 (step 200), not epoch 1."""
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.train.trainer import make_optimizer
+
+    c = cfg.copy()
+    c.training.max_epochs = None
+    c.training.min_epochs = None
+    c.training.unfreezing_epoch = None
+    c.training.unfreezing_step = 0
+    c.training.max_steps = 400
+    c.training.lr_scheduler_params.multisteplr.milestones = None
+    c.training.lr_scheduler_params.multisteplr.milestone_steps = [150]
+    params = {"head": {"w": jnp.zeros(1)}}
+    _, head_sched, _ = make_optimizer(c, steps_per_epoch=100, params=params)
+    base = float(c.training.optimizer_params.learning_rate)
+    assert float(head_sched(150)) == pytest.approx(base)  # not yet dropped
+    assert float(head_sched(200)) == pytest.approx(base * 0.5)
+
+
+def test_eval_batches_nan_padded_labels(cfg, toy_data_dir):
+    """Padded eval rows carry NaN labels so pixel-RMSE ignores them."""
+    from lightning_pose_tpu.data.datamodules import collate_batch
+    from lightning_pose_tpu.data.factory import get_dataset
+
+    dataset = get_dataset(cfg, toy_data_dir, imgaug_pipeline="default")
+    batch = collate_batch(dataset, np.asarray([0, 1, 2]), batch_size=8)
+    assert batch["valid"].tolist() == [True] * 3 + [False] * 5
+    assert np.isnan(batch["keypoints"][3:]).all()
+    assert (batch["visibility"][3:] == 0).all()
