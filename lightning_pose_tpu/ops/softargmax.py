@@ -120,20 +120,23 @@ def run_subpixelmaxima(
             heatmaps, downsample_factor=downsample_factor, temperature=temperature
         )
 
-    if downsample_factor > 0 and heatmaps.shape[1] == heatmaps.shape[2]:
+    if downsample_factor > 0:
         # the whole upsample pipeline (bicubic 2x + pyramid blur per level)
-        # is one separable linear operator: up = M @ hm @ M^T — two MXU
+        # is one separable linear operator: up = M_h @ hm @ M_w^T — two MXU
         # matmuls instead of resize+conv chains (same math as the Pallas
-        # kernel; see ops/pallas_decode.upsample_matrix)
+        # kernel; see ops/pallas_decode.upsample_matrix). Rectangular
+        # heatmaps get independent per-axis matrices.
         from lightning_pose_tpu.ops.pallas_decode import upsample_matrix
 
-        m = jnp.asarray(upsample_matrix(heatmaps.shape[1], downsample_factor))
-        heatmaps = jnp.einsum(
-            "ph,bhwk,qw->bpqk", m, heatmaps.astype(jnp.float32), m
+        mh = jnp.asarray(upsample_matrix(heatmaps.shape[1], downsample_factor))
+        mw = (
+            mh
+            if heatmaps.shape[1] == heatmaps.shape[2]
+            else jnp.asarray(upsample_matrix(heatmaps.shape[2], downsample_factor))
         )
-    else:
-        for _ in range(downsample_factor):
-            heatmaps = upsample2x(heatmaps)
+        heatmaps = jnp.einsum(
+            "ph,bhwk,qw->bpqk", mh, heatmaps.astype(jnp.float32), mw
+        )
     softmaxes = spatial_softmax2d(heatmaps, temperature=temperature)
     preds = spatial_expectation2d(softmaxes)  # (B, K, 2)
     confidences = evaluate_heatmaps_at_location(softmaxes, preds)

@@ -408,3 +408,45 @@ def test_eval_batches_nan_padded_labels(cfg, toy_data_dir):
     assert batch["valid"].tolist() == [True] * 3 + [False] * 5
     assert np.isnan(batch["keypoints"][3:]).all()
     assert (batch["visibility"][3:] == 0).all()
+
+
+@pytest.mark.slow
+def test_train_non_square_resize_dims(cfg, tmp_path):
+    """Rectangular image_resize_dims (128x256) end-to-end: dlc aug warp,
+    heatmap targets, decode, and frame-coordinate remap all handle H != W
+    (the reference supports rectangular dims everywhere)."""
+    import pandas as pd
+
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "rect-test")
+    c.data.image_resize_dims.height = 128
+    c.data.image_resize_dims.width = 256
+    c.training.imgaug = "dlc"
+    train(c, model_dir=tmp_path)
+    df = pd.read_csv(tmp_path / "predictions.csv", header=[0, 1, 2], index_col=0)
+    assert df.shape[0] == 90
+    numeric = df.loc[:, df.columns.get_level_values(0) != "set"]
+    assert np.isfinite(numeric.to_numpy(dtype=float)).all()
+
+
+def test_vit_forward_non_square(rng):
+    """ViT-family backbones accept rectangular inputs (pos embeddings are
+    bicubic-resized in-graph to the (gh, gw) grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
+
+    model = HeatmapTracker(
+        backbone_arch="vits_dino", num_keypoints=3, image_size=128,
+        dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.standard_normal((1, 128, 256, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    hm = model.apply(variables, x, train=False)
+    assert hm.shape == (1, 32, 64, 3)  # H/4, W/4
+    kp, conf = model.decode(hm)
+    kp = np.asarray(kp).reshape(1, 3, 2)
+    assert np.isfinite(kp).all()
+    assert kp[..., 0].max() <= 256 and kp[..., 1].max() <= 128
