@@ -78,11 +78,14 @@ class JSONTrainingProgressTracker:
     """Atomic-write training progress JSON consumed by the LP App
     (reference callbacks.py:527-627)."""
 
-    def __init__(self, status_file: str | Path, total_epochs: int) -> None:
-        self.status_file = Path(status_file)
+    def __init__(self, status_file: str | Path | None, total_epochs: int) -> None:
+        # None disables writes (non-main processes in multi-host DP)
+        self.status_file = Path(status_file) if status_file is not None else None
         self.total_epochs = total_epochs
 
     def update(self, epoch: int, extra: dict | None = None) -> None:
+        if self.status_file is None:
+            return
         payload = {
             "status": "TRAINING",
             "current_epoch": int(epoch),

@@ -37,6 +37,18 @@ class UnlabeledDataModule(BaseDataModule):
         self.video_dir = video_dir
         seq_len = int(cfg.dali.base.train.sequence_length)
         seed = int(cfg.training.get("rng_seed_data_pt", 0)) + 123456
+        # multi-host DP: each host decodes its own shard of the unlabeled
+        # stream with a decorrelated seed and a per-host slice of the
+        # sequence length so the GLOBAL unlabeled batch stays at the
+        # configured size (the reference's per-rank seq_len division +
+        # per-rank DALI seeds, reference data/factory.py:252-291,
+        # dali.py:580-592)
+        import jax
+
+        shard_id = jax.process_index()
+        num_shards = jax.process_count()
+        if num_shards > 1:
+            seq_len = max(1, -(-seq_len // num_shards))
         view_names = cfg.data.get("view_names", None)
         if view_names and len(view_names) > 1:
             from lightning_pose_tpu.data.video import MultiviewUnlabeledVideoLoader
@@ -49,6 +61,7 @@ class UnlabeledDataModule(BaseDataModule):
                 resize_height=int(cfg.data.image_resize_dims.height),
                 resize_width=int(cfg.data.image_resize_dims.width),
                 seed=seed,
+                shard_id=shard_id,
             )
             logger.info(
                 f"multiview unlabeled stream: {len(sessions)} session(s), "
@@ -62,6 +75,7 @@ class UnlabeledDataModule(BaseDataModule):
                 resize_height=int(cfg.data.image_resize_dims.height),
                 resize_width=int(cfg.data.image_resize_dims.width),
                 seed=seed,
+                shard_id=shard_id,
             )
             logger.info(
                 f"unlabeled stream: {len(video_files)} video(s), "

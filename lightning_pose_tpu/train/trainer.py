@@ -37,7 +37,12 @@ from lightning_pose_tpu.losses.losses import RegressionRMSELoss
 from lightning_pose_tpu.models.factory import get_model
 from lightning_pose_tpu.ops.augment import AugmentationEngine
 from lightning_pose_tpu.ops.preprocess import normalize_images
-from lightning_pose_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from lightning_pose_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_local_batch,
+)
 from lightning_pose_tpu.train import checkpoints as ckpt_utils
 from lightning_pose_tpu.train.schedules import anneal_weight, backbone_lr, multistep_lr
 from lightning_pose_tpu.utils.io import return_absolute_data_paths
@@ -588,9 +593,34 @@ def _write_status(path: Path, status: str, **extra) -> None:
 
 def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = False):
     """Train a model from a config; writes the full artifact contract
-    (reference train.py:85-127)."""
+    (reference train.py:85-127).
+
+    Multi-host DP: set ``cfg.training.num_nodes > 1`` (or the
+    LP_TPU_COORDINATOR env var) to bring up ``jax.distributed`` — every
+    process runs the same train() over one global mesh; only process 0
+    writes artifacts and runs post-training evaluation (the reference exits
+    non-zero DDP ranks after fit, train.py:435-436).
+    """
+    num_nodes = int(cfg.training.get("num_nodes", 1) or 1)
+    if num_nodes > 1 or os.environ.get("LP_TPU_COORDINATOR"):
+        from lightning_pose_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
+        if num_nodes > 1 and jax.process_count() < num_nodes:
+            # without this, each process would silently train an independent
+            # full copy and race on the artifact directory
+            raise RuntimeError(
+                f"cfg.training.num_nodes={num_nodes} but jax reports "
+                f"{jax.process_count()} process(es) — multi-host bring-up "
+                "failed (check coordinator address / LP_TPU_* env vars, and "
+                "that nothing initialized a jax backend first)"
+            )
+    is_main = jax.process_index() == 0
+    multihost = jax.process_count() > 1
+
     model_dir = Path(model_dir or os.getcwd())
-    model_dir.mkdir(parents=True, exist_ok=True)
+    if is_main:
+        model_dir.mkdir(parents=True, exist_ok=True)
     status_file = model_dir / "train_status.json"
 
     t_start = time.time()
@@ -685,9 +715,19 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     )
 
     # ---- mesh: 1-D data parallel over the requested number of chips
-    num_devices = min(int(cfg.training.get("num_gpus", 1) or 1), jax.device_count())
-    num_devices = max(1, num_devices)
+    # (multi-host: all global devices join the mesh)
+    if multihost:
+        num_devices = jax.device_count()
+    else:
+        num_devices = min(
+            int(cfg.training.get("num_gpus", 1) or 1), jax.device_count()
+        )
+        num_devices = max(1, num_devices)
     mesh = make_mesh(num_devices)
+    if multihost:
+        from lightning_pose_tpu.parallel.mesh import sync_collectives
+
+        sync_collectives(mesh)
     state = replicate(mesh, state)
 
     # ---- augmentation engine
@@ -729,28 +769,34 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                 f"({est_bytes / 1e6:.0f} MB) on device"
             )
 
-    # ---- logging + dirs (reference train.py:349-383)
-    cfg.save(str(model_dir / "config.yaml"))
-    csv_files = cfg.data.csv_file
-    if isinstance(csv_files, str):
-        csv_files = [csv_files]
-    for csv_file in csv_files:
-        csv_src = Path(csv_file)
-        if not csv_src.is_absolute():
-            csv_src = Path(data_dir) / csv_src
-        if csv_src.exists():
-            shutil.copy(csv_src, model_dir / csv_src.name)
+    # ---- logging + dirs (reference train.py:349-383); process 0 only
+    if is_main:
+        cfg.save(str(model_dir / "config.yaml"))
+        csv_files = cfg.data.csv_file
+        if isinstance(csv_files, str):
+            csv_files = [csv_files]
+        for csv_file in csv_files:
+            csv_src = Path(csv_file)
+            if not csv_src.is_absolute():
+                csv_src = Path(data_dir) / csv_src
+            if csv_src.exists():
+                shutil.copy(csv_src, model_dir / csv_src.name)
 
     version_dir = ckpt_utils.next_version_dir(str(model_dir), cfg.model.model_name)
-    os.makedirs(version_dir, exist_ok=True)
-    ckpt_dir = ckpt_utils.checkpoint_dir(version_dir)
-    try:
-        from tensorboardX import SummaryWriter
+    if is_main:
+        os.makedirs(version_dir, exist_ok=True)
+        ckpt_dir = ckpt_utils.checkpoint_dir(version_dir)
+    else:  # path only — non-main processes never create or write it
+        ckpt_dir = os.path.join(version_dir, "checkpoints")
+    writer = None
+    if is_main:
+        try:
+            from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(version_dir)
-        writer.add_text("config", "```\n" + cfg.to_yaml() + "\n```")
-    except Exception:  # tensorboardX optional
-        writer = None
+            writer = SummaryWriter(version_dir)
+            writer.add_text("config", "```\n" + cfg.to_yaml() + "\n```")
+        except Exception:  # tensorboardX optional
+            writer = None
 
     sched_cfg = _resolve_schedule_cfg(cfg, steps_per_epoch)
     max_epochs = sched_cfg["max_epochs"]
@@ -761,10 +807,13 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     early_stopping = bool(cfg.training.get("early_stopping", False))
     patience = int(cfg.training.get("early_stop_patience", 3) or 3)
 
-    _write_status(status_file, "TRAINING")
+    if is_main:
+        _write_status(status_file, "TRAINING")
     from lightning_pose_tpu.callbacks import JSONTrainingProgressTracker
 
-    progress = JSONTrainingProgressTracker(status_file, total_epochs=max_epochs)
+    progress = JSONTrainingProgressTracker(
+        status_file if is_main else None, total_epochs=max_epochs
+    )
     data_rng = jax.random.PRNGKey(int(cfg.training.get("rng_seed_data_pt", 0)))
 
     best_val = float("inf")
@@ -795,7 +844,8 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                 idxs, valid = item
                 unlabeled = {}
                 if hasattr(data_module, "unlabeled_loader"):
-                    unlabeled = shard_batch(
+                    # per-host video shards -> global batch
+                    unlabeled = shard_local_batch(
                         mesh, next(data_module.unlabeled_loader)
                     )
                 state, logs = train_step_cached(
@@ -807,7 +857,12 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                     unlabeled,
                 )
             else:
+                unlabeled_host = item.pop("unlabeled", None)
                 device_batch = shard_batch(mesh, item)
+                if unlabeled_host is not None:
+                    device_batch["unlabeled"] = shard_local_batch(
+                        mesh, unlabeled_host
+                    )
                 state, logs = train_step(state, device_batch, data_rng)
             global_step += 1
             if writer is not None and global_step % log_every == 0:
@@ -840,19 +895,20 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
             if val_loss < best_val:
                 best_val = val_loss
                 bad_val_checks = 0
-                if best_ckpt_path and os.path.exists(best_ckpt_path):
+                if is_main and best_ckpt_path and os.path.exists(best_ckpt_path):
                     os.remove(best_ckpt_path)
                 best_ckpt_path = os.path.join(
                     ckpt_dir, f"epoch={epoch}-step={global_step}-best.ckpt"
                 )
-                ckpt_utils.save_checkpoint(
-                    best_ckpt_path, state.params, state.batch_stats,
-                    global_step, epoch,
-                )
+                if is_main:
+                    ckpt_utils.save_checkpoint(
+                        best_ckpt_path, state.params, state.batch_stats,
+                        global_step, epoch,
+                    )
             else:
                 bad_val_checks += 1
 
-            if ckpt_every:
+            if ckpt_every and is_main:
                 if (epoch + 1) % int(ckpt_every) == 0:
                     path = os.path.join(
                         ckpt_dir, f"epoch={epoch}-step={global_step}.ckpt"
@@ -874,10 +930,11 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         best_ckpt_path = os.path.join(
             ckpt_dir, f"epoch={max_epochs - 1}-step={global_step}-best.ckpt"
         )
-        ckpt_utils.save_checkpoint(
-            best_ckpt_path, state.params, state.batch_stats, global_step,
-            max_epochs - 1,
-        )
+        if is_main:
+            ckpt_utils.save_checkpoint(
+                best_ckpt_path, state.params, state.batch_stats, global_step,
+                max_epochs - 1,
+            )
 
     if profiler_on:
         jax.profiler.stop_trace()
@@ -887,6 +944,19 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         data_module.close()
 
     logger.info(f"training finished in {time.time() - t_start:.1f}s")
+
+    if multihost and not is_main:
+        # only process 0 evaluates and writes artifacts (the reference exits
+        # non-zero ranks after fit, train.py:435-436)
+        logger.info("non-main process done; skipping evaluation")
+        return None
+    if multihost:
+        # fetch the replicated global state to local host memory so the
+        # single-device evaluation/prediction path runs without the mesh
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), state
+        )
+
     _write_status(status_file, "EVALUATING")
 
     # reload the best checkpoint so post-training artifacts reflect exactly

@@ -1,0 +1,112 @@
+"""Multi-host DP smoke test: 2-process jax.distributed training on CPU.
+
+Mirrors the reference's subprocess-based multi-GPU test (reference
+tests/test_train.py:167-224): DDP can't run inside the pytest process, so
+two worker subprocesses each run train() over a shared 2-device global mesh
+(1 CPU device per process, gloo collectives) and the test asserts exit
+codes and the single set of artifacts written by process 0.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+
+    data_dir, model_dir, coordinator, pid = sys.argv[1:5]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["LP_TPU_COORDINATOR"] = coordinator
+    os.environ["LP_TPU_NUM_PROCESSES"] = "2"
+    os.environ["LP_TPU_PROCESS_ID"] = pid
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from lightning_pose_tpu.config import load_config
+    from lightning_pose_tpu.train import train
+
+    cfg = load_config()
+    cfg.data.data_dir = data_dir
+    cfg.data.video_dir = os.path.join(data_dir, "videos")
+    cfg.data.csv_file = "CollectedData.csv"
+    cfg.data.num_keypoints = 17
+    cfg.data.image_resize_dims.height = 128
+    cfg.data.image_resize_dims.width = 128
+    cfg.training.train_batch_size = 4
+    cfg.training.val_batch_size = 4
+    cfg.training.test_batch_size = 4
+    cfg.training.train_prob = 0.8
+    cfg.training.val_prob = 0.1
+    cfg.training.train_frames = 8
+    cfg.training.imgaug = "default"
+    cfg.training.max_epochs = 1
+    cfg.training.min_epochs = 1
+    cfg.training.check_val_every_n_epoch = 1
+    cfg.training.unfreezing_epoch = 0
+    cfg.training.num_nodes = 2
+    cfg.model.model_type = "heatmap"
+    cfg.model.backbone = "resnet18"
+    cfg.model.model_name = "multihost-test"
+    cfg.model.losses_to_use = ["temporal"]
+    cfg.dali.base.train.sequence_length = 4
+    cfg.eval.predict_vids_after_training = False
+
+    train(cfg, model_dir=model_dir, skip_evaluation=True)
+    print(f"worker {pid}: done (process_count={jax.process_count()})")
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+@pytest.mark.multichip
+def test_two_process_distributed_training(toy_data_dir, tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    model_dir = tmp_path / "model"
+    coordinator = f"localhost:{_free_port()}"
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), toy_data_dir, str(model_dir),
+             coordinator, str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"worker {pid}: done (process_count=2)" in out
+
+    # process 0 wrote the artifact set exactly once
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    assert (model_dir / "config.yaml").exists()
+    ckpt = ckpt_path_from_base_path(str(model_dir), "multihost-test")
+    assert ckpt is not None and ckpt.endswith("-best.ckpt")
+    # exactly one version dir (non-main did not create its own)
+    versions = list((model_dir / "tb_logs" / "multihost-test").glob("version_*"))
+    assert len(versions) == 1
