@@ -6,38 +6,119 @@ predict`, single-view ResNet-50, 256px, seq_len 64 — T4 FP32 469 frames in
 165.2 s = 2.84 fps; A100 ~9 fps). Baseline for ``vs_baseline`` is the T4
 FP32 number; the north-star target is >=4x that on one TPU chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline number times the PRODUCT path — ``Model.predict_on_video_file``
+wall time, including video decode, host->device transfer, forward+decode,
+PredictionHandler DataFrame assembly, CSV writing, and unsupervised video
+metrics — the same work `litpose predict` does for the reference number.
+``python bench.py --raw`` times just the decode+transfer+forward loop
+(the round-1 metric) for comparison.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
-import os
+import shutil
 import sys
+import tempfile
 import time
+from pathlib import Path
 
 VIDEO = "/root/reference/data/mirror-mouse-example/videos/test_vid.mp4"
+DATA_DIR = "/root/reference/data/mirror-mouse-example"
 T4_FPS_BASELINE = 469 / 165.2  # reference mixed_precision.rst:268-279
+SEQ_LEN = 128  # 128-frame windows amortize per-call overhead best on v5e
+SIZE = 256
 
 
-def main() -> None:
+def _make_model_dir(tmp: str) -> str:
+    """Build a loadable model directory (config.yaml + best ckpt) so the
+    benchmark exercises the real ``Model.from_dir`` -> predict path."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.config import load_config
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+
+    cfg = load_config()
+    cfg.data.data_dir = DATA_DIR
+    cfg.data.video_dir = str(Path(DATA_DIR) / "videos")
+    cfg.data.csv_file = "CollectedData.csv"
+    cfg.data.num_keypoints = 17
+    cfg.data.keypoint_names = [
+        "paw1LH_top", "paw2LF_top", "paw3RF_top", "paw4RH_top", "tailBase_top",
+        "tailMid_top", "nose_top", "obs_top", "paw1LH_bot", "paw2LF_bot",
+        "paw3RF_bot", "paw4RH_bot", "tailBase_bot", "tailMid_bot", "nose_bot",
+        "obsHigh_bot", "obsLow_bot",
+    ]
+    cfg.data.image_resize_dims.height = SIZE
+    cfg.data.image_resize_dims.width = SIZE
+    cfg.model.model_type = "heatmap"
+    cfg.model.backbone = "resnet50"
+    cfg.model.model_name = "bench"
+    cfg.dali.base.predict.sequence_length = SEQ_LEN
+
+    module, _meta = get_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), dtype=jnp.float32)
+    variables = module.init(rng, dummy, train=False)
+
+    model_dir = Path(tmp) / "model"
+    version_dir = Path(ckpt_utils.next_version_dir(str(model_dir), "bench"))
+    ckpt_dir = ckpt_utils.checkpoint_dir(str(version_dir))
+    ckpt_utils.save_checkpoint(
+        str(Path(ckpt_dir) / "epoch=0-step=0-best.ckpt"),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=0,
+        epoch=0,
+    )
+    cfg.save(str(model_dir / "config.yaml"))
+    return str(model_dir)
+
+
+def bench_product() -> dict:
+    """Time Model.predict_on_video_file end-to-end (CSV writing included)."""
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.data.video import count_frames
+
+    n_frames = count_frames(VIDEO)
+    tmp = tempfile.mkdtemp(prefix="lp_bench_")
+    try:
+        model_dir = _make_model_dir(tmp)
+        m = Model.from_dir(model_dir)
+        # warmup run: XLA compile + cv2/codec init (the reference timing
+        # likewise excludes one-time CUDA/cuDNN init via prior runs)
+        m.predict_on_video_file(VIDEO, output_dir=str(Path(tmp) / "warm"))
+
+        t0 = time.time()
+        df = m.predict_on_video_file(VIDEO, output_dir=str(Path(tmp) / "out"))
+        elapsed = time.time() - t0
+        csv_path = Path(tmp) / "out" / (Path(VIDEO).stem + ".csv")
+        assert csv_path.exists(), "predictions CSV was not written"
+        assert len(df) == n_frames
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"fps": n_frames / elapsed, "frames": n_frames, "sec": elapsed}
+
+
+def bench_raw() -> dict:
+    """Round-1 metric: the raw decode+transfer+forward loop only."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from lightning_pose_tpu.data import bboxes as bboxes_mod
     from lightning_pose_tpu.data.video import PredictVideoLoader, count_frames
     from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
     from lightning_pose_tpu.ops.preprocess import normalize_images
-    from lightning_pose_tpu.data import bboxes as bboxes_mod
 
-    # 128-frame windows amortize per-call overhead best on v5e (the
-    # reference likewise tunes seq_len per device, mixed_precision.rst)
-    seq_len = 128
-    size = 256
     model = HeatmapTracker(
-        backbone_arch="resnet50", num_keypoints=17, image_size=size,
+        backbone_arch="resnet50", num_keypoints=17, image_size=SIZE,
         dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((seq_len, size, size, 3), dtype=jnp.float32)
+    dummy = jnp.zeros((SEQ_LEN, SIZE, SIZE, 3), dtype=jnp.float32)
     variables = model.init(rng, dummy, train=False)
 
     @jax.jit
@@ -45,38 +126,43 @@ def main() -> None:
         images = normalize_images(frames.astype(jnp.float32))
         heatmaps = model.apply(variables, images, train=False)
         preds, confs = model.decode(heatmaps, fast=True)
-        preds = bboxes_mod.model_to_frame_batch(preds, bbox, size, size)
+        preds = bboxes_mod.model_to_frame_batch(preds, bbox, SIZE, SIZE)
         return preds, confs
 
     n_frames = count_frames(VIDEO)
     loader = PredictVideoLoader(
-        VIDEO, sequence_length=seq_len, resize_height=size, resize_width=size
+        VIDEO, sequence_length=SEQ_LEN, resize_height=SIZE, resize_width=SIZE
     )
-    bbox = jnp.tile(jnp.asarray([0.0, 0.0, 406.0, 396.0]), (seq_len, 1))
+    bbox = jnp.tile(jnp.asarray([0.0, 0.0, 406.0, 396.0]), (SEQ_LEN, 1))
 
-    # compile warmup (excluded: the reference's timing also excludes
-    # one-time CUDA/cuDNN init via prior runs)
     out = predict(variables, dummy, bbox)
     jax.block_until_ready(out)
 
     t0 = time.time()
-    outs = []
-    for batch in loader:
-        outs.append(predict(variables, jnp.asarray(batch), bbox))
+    outs = [predict(variables, jnp.asarray(b), bbox) for b in loader]
     # force full host materialization (block_until_ready is unreliable
     # through remote-device tunnels)
     results = [(np.asarray(kp), np.asarray(conf)) for kp, conf in outs]
     elapsed = time.time() - t0
-    fps = n_frames / elapsed
     assert len(results) == len(loader)
+    return {"fps": n_frames / elapsed, "frames": n_frames, "sec": elapsed}
 
+
+def main() -> None:
+    raw_mode = "--raw" in sys.argv
+    if raw_mode:
+        r = bench_raw()
+        metric = "video_inference_fps_per_chip_resnet50_heatmap"
+    else:
+        r = bench_product()
+        metric = "video_inference_fps_product_path_resnet50_heatmap"
     print(
         json.dumps(
             {
-                "metric": "video_inference_fps_per_chip_resnet50_heatmap",
-                "value": round(fps, 2),
+                "metric": metric,
+                "value": round(r["fps"], 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / T4_FPS_BASELINE, 2),
+                "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
             }
         )
     )

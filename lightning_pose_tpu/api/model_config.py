@@ -84,6 +84,17 @@ class ModelConfig:
                     f"len(data.keypoint_names) ({len(keypoint_names)})"
                 )
 
+        # multiview: one csv per view (reference model_config.py:162-168)
+        if self.is_multi_view():
+            csv_file = cfg.data.get("csv_file")
+            if isinstance(csv_file, (list, tuple)) and len(csv_file) != len(
+                cfg.data.view_names
+            ):
+                raise InvalidConfig(
+                    f"len(data.view_names) ({len(cfg.data.view_names)}) must "
+                    f"equal len(data.csv_file) ({len(csv_file)})"
+                )
+
         # split probabilities
         train_prob = cfg.training.get("train_prob", 0.95)
         val_prob = cfg.training.get("val_prob", 0.05)
@@ -101,20 +112,24 @@ class ModelConfig:
                 f"check_val_every_n_epoch ({check_val})"
             )
 
-        # milestones within max_epochs (epoch mode only)
-        if cfg.training.get("max_epochs") is not None:
-            milestones = cfg.training.lr_scheduler_params.multisteplr.get(
-                "milestones", []
-            )
-            max_epochs = cfg.training.max_epochs
-            import logging
-
-            for m in milestones or []:
-                if m > max_epochs:
-                    logging.getLogger(__name__).warning(
-                        f"lr milestone {m} exceeds max_epochs {max_epochs}; "
-                        "it will never fire"
-                    )
+        # milestones within max_epochs / milestone_steps within max_steps
+        # (reference model_config.py:206-219 asserts both)
+        multisteplr = cfg.training.lr_scheduler_params.get("multisteplr")
+        if multisteplr is not None:
+            if cfg.training.get("max_epochs") is not None:
+                max_epochs = cfg.training.max_epochs
+                for m in multisteplr.get("milestones") or []:
+                    if m > max_epochs:
+                        raise InvalidConfig(
+                            f"lr milestone {m} exceeds max_epochs {max_epochs}"
+                        )
+            if cfg.training.get("max_steps") is not None:
+                max_steps = cfg.training.max_steps
+                for m in multisteplr.get("milestone_steps") or []:
+                    if m > max_steps:
+                        raise InvalidConfig(
+                            f"lr milestone_steps {m} exceeds max_steps {max_steps}"
+                        )
 
         # losses must have numeric log_weights
         for loss_name in cfg.model.get("losses_to_use") or []:
@@ -133,6 +148,34 @@ class ModelConfig:
             raise InvalidConfig(
                 f"model_type {cfg.model.model_type} not in {ALLOWED_MODEL_TYPES}"
             )
+
+        # multiview checks (reference model_config.py:243-268): warn on a
+        # non-transformer model type; the 3D reprojection loss requires
+        # dlc-style augmentation with the 3D geometric stage enabled
+        if self.is_multi_view():
+            from lightning_pose_tpu.models.factory import normalize_model_type
+
+            if normalize_model_type(cfg.model.model_type) != "heatmap_multiview":
+                import warnings
+
+                warnings.warn(
+                    "multi-view models require model.model_type = "
+                    "'heatmap_multiview_transformer', got "
+                    f"'{cfg.model.model_type}'",
+                    stacklevel=2,
+                )
+            reproj = cfg.losses.get("supervised_reprojection_heatmap_mse")
+            if reproj is not None and reproj.get("log_weight") is not None:
+                if cfg.training.get("imgaug") != "dlc":
+                    raise InvalidConfig(
+                        "training.imgaug must be 'dlc' when "
+                        "losses.supervised_reprojection_heatmap_mse is active"
+                    )
+                if cfg.training.get("imgaug_3d") is not True:
+                    raise InvalidConfig(
+                        "training.imgaug_3d must be true when "
+                        "losses.supervised_reprojection_heatmap_mse is active"
+                    )
 
     def validate_steps_vs_epochs(self) -> None:
         """Strict steps-XOR-epochs mode (reference model_config.py:290-320)."""

@@ -33,7 +33,9 @@ def get_dataset(cfg, data_dir: str, imgaug_pipeline=None):
     if imgaug_pipeline is None:
         imgaug_pipeline = get_imgaug_pipeline(cfg)
 
-    model_type = cfg.model.model_type
+    from lightning_pose_tpu.models.factory import normalize_model_type
+
+    model_type = normalize_model_type(cfg.model.model_type)
     height = cfg.data.image_resize_dims.height
     width = cfg.data.image_resize_dims.width
     common = dict(

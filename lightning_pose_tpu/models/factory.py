@@ -24,14 +24,26 @@ __all__ = [
     "check_if_semi_supervised",
     "get_model_class",
     "get_model",
+    "normalize_model_type",
 ]
 
+# "heatmap_multiview_transformer" is the reference's canonical config value
+# (reference models/factory.py:48-53); "heatmap_multiview" is accepted as a
+# short alias and used as the internal canonical name in saved metadata.
 ALLOWED_MODEL_TYPES = [
     "regression",
     "heatmap",
     "heatmap_mhcrnn",
+    "heatmap_multiview_transformer",
     "heatmap_multiview",
 ]
+
+_MODEL_TYPE_ALIASES = {"heatmap_multiview_transformer": "heatmap_multiview"}
+
+
+def normalize_model_type(model_type: str) -> str:
+    """Map config model_type strings to the internal canonical name."""
+    return _MODEL_TYPE_ALIASES.get(model_type, model_type)
 
 
 def check_if_semi_supervised(losses_to_use) -> bool:
@@ -49,6 +61,7 @@ def check_if_semi_supervised(losses_to_use) -> bool:
 
 def get_model_class(map_type: str, semi_supervised: bool = False):
     """Resolve a model-type string to a module class."""
+    map_type = normalize_model_type(map_type)
     if map_type not in ALLOWED_MODEL_TYPES:
         raise NotImplementedError(
             f"{map_type} is an invalid model_type; choose from {ALLOWED_MODEL_TYPES}"
@@ -83,7 +96,7 @@ def get_model(
         (module, metadata dict) — metadata carries model_type,
         semi_supervised flag, and downsample_factor for the training loop.
     """
-    model_type = cfg.model.model_type
+    model_type = normalize_model_type(cfg.model.model_type)
     semi_supervised = check_if_semi_supervised(cfg.model.get("losses_to_use"))
     num_keypoints = num_keypoints or cfg.data.num_keypoints
     image_size = int(cfg.data.image_resize_dims.get("height") or 256)

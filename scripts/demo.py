@@ -35,6 +35,7 @@ def main() -> None:
             "training.train_prob=0.8",
             "training.val_prob=0.1",
             "training.max_epochs=100",
+            "training.lr_scheduler_params.multisteplr.milestones=[50,75]",
             "training.min_epochs=100",
             "training.check_val_every_n_epoch=20",
             "training.unfreezing_epoch=0",

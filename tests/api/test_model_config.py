@@ -80,3 +80,57 @@ def test_multiview_detection(cfg):
     assert ModelConfig(c).is_single_view()
     c.data.view_names = ["a", "b"]
     assert ModelConfig(c).is_multi_view()
+
+
+def test_milestones_must_not_exceed_max_epochs(cfg):
+    c = cfg.copy()
+    c.training.lr_scheduler_params.multisteplr.milestones = [1, 100]
+    with pytest.raises(InvalidConfig, match="exceeds max_epochs"):
+        ModelConfig(c).validate()
+
+
+def test_milestone_steps_must_not_exceed_max_steps(cfg):
+    c = cfg.copy()
+    c.training.max_epochs = None
+    c.training.min_epochs = None
+    c.training.unfreezing_epoch = None
+    c.training.max_steps = 50
+    c.training.min_steps = 50
+    c.training.unfreezing_step = 10
+    c.training.lr_scheduler_params.multisteplr.milestones = None
+    c.training.lr_scheduler_params.multisteplr.milestone_steps = [60]
+    with pytest.raises(InvalidConfig, match="exceeds max_steps"):
+        ModelConfig(c).validate()
+
+
+def test_multiview_csv_count_mismatch(cfg):
+    c = cfg.copy()
+    c.data.view_names = ["a", "b"]
+    c.data.csv_file = ["a.csv", "b.csv", "c.csv"]
+    with pytest.raises(InvalidConfig, match="csv_file"):
+        ModelConfig(c).validate()
+
+
+def test_multiview_non_transformer_warns(cfg):
+    c = cfg.copy()
+    c.data.view_names = ["a", "b"]
+    c.data.csv_file = ["a.csv", "b.csv"]
+    c.model.model_type = "heatmap"
+    with pytest.warns(UserWarning, match="heatmap_multiview_transformer"):
+        ModelConfig(c).validate()
+
+
+def test_reprojection_loss_requires_dlc_imgaug_3d(cfg):
+    c = cfg.copy()
+    c.data.view_names = ["a", "b"]
+    c.data.csv_file = ["a.csv", "b.csv"]
+    c.model.model_type = "heatmap_multiview_transformer"
+    c.losses.supervised_reprojection_heatmap_mse = {"log_weight": 0.0}
+    c.training.imgaug = "none"
+    with pytest.raises(InvalidConfig, match="imgaug must be 'dlc'"):
+        ModelConfig(c).validate()
+    c.training.imgaug = "dlc"
+    with pytest.raises(InvalidConfig, match="imgaug_3d"):
+        ModelConfig(c).validate()
+    c.training.imgaug_3d = True
+    ModelConfig(c).validate()

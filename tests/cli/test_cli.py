@@ -108,6 +108,7 @@ training:
   min_epochs: 1
   check_val_every_n_epoch: 1
   unfreezing_epoch: 0
+  lr_scheduler_params: {{multisteplr: {{milestones: [1]}}}}
 model:
   backbone: resnet18
   model_type: heatmap

@@ -71,6 +71,9 @@ def cfg(toy_data_dir):
     cfg.training.min_epochs = 2
     cfg.training.unfreezing_epoch = 1
     cfg.training.check_val_every_n_epoch = 1
+    # keep milestones within max_epochs (same idea as reference
+    # test_train.py:37; [1] because _small_train_cfg shrinks max_epochs to 1)
+    cfg.training.lr_scheduler_params.multisteplr.milestones = [1]
     cfg.training.rng_seed_data_pt = 42
     cfg.training.rng_seed_model_pt = 44
     cfg.model.model_type = "heatmap"

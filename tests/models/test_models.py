@@ -188,3 +188,28 @@ def test_model_factory(cfg):
 
     with pytest.raises(NotImplementedError):
         get_model_class("not_a_model")
+
+
+def test_model_type_transformer_alias(cfg):
+    """The reference's canonical 'heatmap_multiview_transformer' string
+    resolves to the multiview tracker (reference models/factory.py:48-53)."""
+    from lightning_pose_tpu.models.factory import (
+        get_model,
+        get_model_class,
+        normalize_model_type,
+    )
+    from lightning_pose_tpu.models.heatmap_tracker_multiview import (
+        HeatmapTrackerMultiviewTransformer,
+    )
+
+    assert normalize_model_type("heatmap_multiview_transformer") == "heatmap_multiview"
+    assert normalize_model_type("heatmap") == "heatmap"
+    cls = get_model_class("heatmap_multiview_transformer")
+    assert cls is HeatmapTrackerMultiviewTransformer
+
+    c = cfg.copy()
+    c.model.model_type = "heatmap_multiview_transformer"
+    c.data.view_names = ["top", "bot"]
+    module, meta = get_model(c)
+    assert meta["model_type"] == "heatmap_multiview"
+    assert meta["num_views"] == 2

@@ -52,6 +52,7 @@ _WORKER = textwrap.dedent(
     cfg.training.min_epochs = 1
     cfg.training.check_val_every_n_epoch = 1
     cfg.training.unfreezing_epoch = 0
+    cfg.training.lr_scheduler_params.multisteplr.milestones = [1]
     cfg.training.num_nodes = 2
     cfg.model.model_type = "heatmap"
     cfg.model.backbone = "resnet18"
@@ -85,6 +86,12 @@ def test_two_process_distributed_training(toy_data_dir, tmp_path):
         for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    # the worker script lives in tmp_path; make the package importable
+    # there regardless of whether it was pip-installed
+    import lightning_pose_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(lightning_pose_tpu.__file__))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), toy_data_dir, str(model_dir),
