@@ -162,7 +162,11 @@ class Model:
         num_views = int(meta.get("num_views", 1) or 1)
 
         def predict_step(state, images_uint8, bbox):
-            images = normalize_images(images_uint8.astype(jnp.float32))
+            # fused Pallas uint8 -> normalized compute-dtype pass on TPU;
+            # XLA normalize elsewhere (numerically equal up to dtype rounding)
+            from lightning_pose_tpu.ops.preprocess import normalize_images_fused
+
+            images = normalize_images_fused(images_uint8, out_dtype=compute_dtype)
             vs = {"params": state.params, "batch_stats": state.batch_stats}
             if is_context:
                 from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
@@ -423,7 +427,9 @@ class Model:
         if frame_rgb.size == 0:
             raise ValueError("frame_rgb is empty")
 
-        model_type = str(self.cfg.model.model_type)
+        from lightning_pose_tpu.models.factory import normalize_model_type
+
+        model_type = normalize_model_type(str(self.cfg.model.model_type))
         is_context_model = model_type == "heatmap_mhcrnn"
         is_multiview_model = model_type == "heatmap_multiview"
         if is_context_model and not is_stack_input:

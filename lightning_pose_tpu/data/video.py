@@ -16,11 +16,20 @@ Batch policies mirror the DALI pipes (reference dali.py:519-562,699-760):
   shift-by-2 fix in PredictionHandler.
 - train: random-start windows, seeded per host/replica (replaces DALI's
   per-GPU ``device_id``/seed sharding, reference dali.py:580-592).
+
+Multi-core decode: a single H.264/H.265 stream decodes serially, so on
+many-core TPU-VM hosts the loaders shard the video BY WINDOW across
+``decode_threads`` worker decoders (each seeks to its window start and
+decodes one batch; batches are re-emitted in order) — the CPU analog of
+DALI's parallel NVDEC pipelines. Window assignment is deterministic, so
+the emitted batch stream is identical for any thread count (parity-tested
+in tests/data/test_video.py).
 """
 
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 
@@ -28,6 +37,15 @@ import cv2
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def default_decode_threads() -> int:
+    """Worker-decoder count: LP_TPU_DECODE_THREADS env var, else
+    min(4, cores-1) — 1 on small hosts, 4 on real TPU-VMs."""
+    env = os.environ.get("LP_TPU_DECODE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(4, (os.cpu_count() or 1) - 1))
 
 __all__ = [
     "count_frames",
@@ -104,10 +122,13 @@ class PredictVideoLoader:
         do_context: bool = False,
         prefetch_batches: int = 3,
         bbox_df=None,
+        decode_threads: int | None = None,
     ):
         """``bbox_df``: optional per-frame [x, y, h, w] DataFrame — bbox-crop
         mode decodes at full resolution and crops+resizes each frame
-        (reference dali.py:332-396); batches then carry per-frame bboxes."""
+        (reference dali.py:332-396); batches then carry per-frame bboxes.
+        ``decode_threads``: worker decoders sharding the video by window
+        (default :func:`default_decode_threads`)."""
         self.video_file = str(video_file)
         self.seq_len = int(sequence_length)
         self.h = int(resize_height)
@@ -116,6 +137,10 @@ class PredictVideoLoader:
         self.prefetch_batches = prefetch_batches
         self.frame_count = count_frames(self.video_file)
         self.bbox_df = bbox_df
+        self.decode_threads = (
+            decode_threads if decode_threads is not None
+            else default_decode_threads()
+        )
         # context windows step by seq_len - 4 (reference dali.py:636-651)
         self.step = self.seq_len - 4 if do_context else self.seq_len
 
@@ -125,48 +150,51 @@ class PredictVideoLoader:
             return int(np.ceil(usable / self.step))
         return int(np.ceil(self.frame_count / self.seq_len))
 
-    def _produce(self, q: queue.Queue) -> None:
+    def _convert(self, raw_frames: list[np.ndarray], start_idx: int) -> np.ndarray:
+        """Raw BGR native-res frames -> (T, h, w, 3) RGB uint8 batch (fused
+        native BGR->RGB+resize, parallelized across frames)."""
         from lightning_pose_tpu import native
 
-        decoder = VideoFrameDecoder(self.video_file, self.h, self.w)
+        stacked = np.stack(raw_frames)
+        if self.bbox_df is None:
+            return native.batch_resize_rgb(
+                stacked, self.h, self.w, swap_rb=True
+            )
+        # bbox-crop mode: per-frame crop+resize (reference dali.py:332-396)
+        n = stacked.shape[0]
+        idx = np.minimum(
+            np.arange(start_idx, start_idx + n), len(self.bbox_df) - 1
+        )
+        boxes = self.bbox_df[["x", "y", "h", "w"]].to_numpy()[idx].astype(
+            np.int32
+        )
+        lib = native.get_lib()
+        out = np.empty((n, self.h, self.w, 3), dtype=np.uint8)
+        if lib is not None:
+            lib.batch_crop_resize_rgb(
+                np.ascontiguousarray(stacked).ctypes.data, n,
+                stacked.shape[1], stacked.shape[2],
+                np.ascontiguousarray(boxes).ctypes.data,
+                out.ctypes.data, self.h, self.w, 1,
+                native.num_worker_threads(),
+            )
+        else:
+            for i in range(n):
+                x, y, bh, bw = boxes[i]
+                crop = np.zeros((bh, bw, 3), dtype=np.uint8)
+                x0, y0 = max(x, 0), max(y, 0)
+                x1 = min(x + bw, stacked.shape[2])
+                y1 = min(y + bh, stacked.shape[1])
+                if x1 > x0 and y1 > y0:
+                    crop[y0 - y:y1 - y, x0 - x:x1 - x] = stacked[i, y0:y1, x0:x1]
+                out[i] = cv2.resize(
+                    cv2.cvtColor(crop, cv2.COLOR_BGR2RGB), (self.w, self.h)
+                )
+        return out
 
-        def convert(raw_frames: list[np.ndarray], start_idx: int) -> np.ndarray:
-            stacked = np.stack(raw_frames)
-            if self.bbox_df is None:
-                return native.batch_resize_rgb(
-                    stacked, self.h, self.w, swap_rb=True
-                )
-            # bbox-crop mode: per-frame crop+resize (reference dali.py:332-396)
-            n = stacked.shape[0]
-            idx = np.minimum(
-                np.arange(start_idx, start_idx + n), len(self.bbox_df) - 1
-            )
-            boxes = self.bbox_df[["x", "y", "h", "w"]].to_numpy()[idx].astype(
-                np.int32
-            )
-            lib = native.get_lib()
-            out = np.empty((n, self.h, self.w, 3), dtype=np.uint8)
-            if lib is not None:
-                lib.batch_crop_resize_rgb(
-                    np.ascontiguousarray(stacked).ctypes.data, n,
-                    stacked.shape[1], stacked.shape[2],
-                    np.ascontiguousarray(boxes).ctypes.data,
-                    out.ctypes.data, self.h, self.w, 1,
-                    native.num_worker_threads(),
-                )
-            else:
-                for i in range(n):
-                    x, y, bh, bw = boxes[i]
-                    crop = np.zeros((bh, bw, 3), dtype=np.uint8)
-                    x0, y0 = max(x, 0), max(y, 0)
-                    x1 = min(x + bw, stacked.shape[2])
-                    y1 = min(y + bh, stacked.shape[1])
-                    if x1 > x0 and y1 > y0:
-                        crop[y0 - y:y1 - y, x0 - x:x1 - x] = stacked[i, y0:y1, x0:x1]
-                    out[i] = cv2.resize(
-                        cv2.cvtColor(crop, cv2.COLOR_BGR2RGB), (self.w, self.h)
-                    )
-            return out
+    def _produce(self, q: queue.Queue) -> None:
+        decoder = VideoFrameDecoder(self.video_file, self.h, self.w)
+        convert = self._convert
 
         try:
             if not self.do_context:
@@ -193,32 +221,131 @@ class PredictVideoLoader:
                         batch.append(last_frame)
                     q.put(convert(batch, frame_idx))
             else:
-                # overlapping windows: keep a rolling buffer
-                frames: list[np.ndarray] = []
+                # overlapping windows: rolling raw-frame buffer (seq_len - 4
+                # frames carry over between windows), fused native convert
+                # per window — bounded memory for arbitrarily long videos
+                n_batches = len(self)
+                buf: list[np.ndarray] = []
+                start = 0
+                emitted = 0
                 while True:
-                    frame = decoder.read()
+                    frame = decoder.read_raw()
                     if frame is None:
                         break
-                    frames.append(frame)
-                arr = np.stack(frames) if frames else np.zeros(
-                    (1, self.h, self.w, 3), dtype=np.uint8
-                )
-                n = arr.shape[0]
-                start = 0
-                while start == 0 or start + 4 < n:
-                    window = arr[start:start + self.seq_len]
-                    if window.shape[0] < self.seq_len:
-                        pad = np.tile(
-                            window[-1:], (self.seq_len - window.shape[0], 1, 1, 1)
-                        )
-                        window = np.concatenate([window, pad], axis=0)
-                    q.put(window)
+                    buf.append(frame)
+                    if len(buf) == self.seq_len:
+                        q.put(convert(buf, start))
+                        emitted += 1
+                        buf = buf[self.step:]
+                        start += self.step
+                # tail windows: FILL-pad with the final decoded frame
+                while emitted < n_batches:
+                    window = list(buf[: self.seq_len])
+                    if not window:
+                        window = [
+                            np.zeros(
+                                (decoder.orig_height, decoder.orig_width, 3),
+                                dtype=np.uint8,
+                            )
+                        ]
+                    while len(window) < self.seq_len:
+                        window.append(window[-1])
+                    q.put(convert(window, start))
+                    emitted += 1
+                    buf = buf[self.step:]
                     start += self.step
         finally:
             decoder.close()
             q.put(None)
 
+    def _decode_window(self, decoder: "VideoFrameDecoder", k: int) -> np.ndarray:
+        """Seek-decode window ``k`` ([k*step, k*step+seq_len), FILL-padded)."""
+        start = k * self.step
+        count = min(self.seq_len, max(self.frame_count - start, 0))
+        decoder.seek(start)
+        raw: list[np.ndarray] = []
+        for _ in range(count):
+            frame = decoder.read_raw()
+            if frame is None:
+                break
+            raw.append(frame)
+        if not raw:  # container metadata overstated frame_count
+            decoder.seek(max(self.frame_count - 1, 0))
+            frame = decoder.read_raw()
+            raw.append(
+                frame
+                if frame is not None
+                else np.zeros(
+                    (decoder.orig_height, decoder.orig_width, 3), dtype=np.uint8
+                )
+            )
+        while len(raw) < self.seq_len:
+            raw.append(raw[-1])  # FILL policy (reference dali.py:699-760)
+        return self._convert(raw, start)
+
+    def _iter_parallel(self):
+        """Window-sharded parallel decode: worker w handles windows
+        w, w+K, w+2K, ...; the main thread re-emits them in order. Output
+        is identical to the serial path for any thread count."""
+        n_batches = len(self)
+        n_workers = min(self.decode_threads, n_batches)
+        results: dict[int, np.ndarray] = {}
+        errors: list[BaseException] = []
+        cond = threading.Condition()
+        emitted = [0]
+        max_pending = n_workers + self.prefetch_batches
+
+        def worker(wid: int) -> None:
+            decoder = VideoFrameDecoder(self.video_file, self.h, self.w)
+            try:
+                for k in range(wid, n_batches, n_workers):
+                    with cond:
+                        while (
+                            k - emitted[0] >= max_pending and not errors
+                        ):
+                            cond.wait()
+                        if errors:
+                            return
+                    batch = self._decode_window(decoder, k)
+                    with cond:
+                        results[k] = batch
+                        cond.notify_all()
+            except BaseException as e:  # propagate to the consumer
+                with cond:
+                    errors.append(e)
+                    cond.notify_all()
+            finally:
+                decoder.close()
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(n_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for k in range(n_batches):
+                with cond:
+                    while k not in results and not errors:
+                        cond.wait()
+                    if errors:
+                        raise errors[0]
+                    batch = results.pop(k)
+                    emitted[0] = k + 1
+                    cond.notify_all()
+                yield batch
+        finally:
+            with cond:
+                if not errors:
+                    errors.append(GeneratorExit("consumer stopped"))
+                cond.notify_all()
+            for t in threads:
+                t.join(timeout=10.0)
+
     def __iter__(self):
+        if self.decode_threads > 1:
+            yield from self._iter_parallel()
+            return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         t = threading.Thread(target=self._produce, args=(q,), daemon=True)
         t.start()
@@ -286,76 +413,116 @@ class UnlabeledVideoLoader:
         seed: int = 123456,
         shard_id: int = 0,
         prefetch_batches: int = 2,
+        decode_threads: int | None = None,
     ):
         assert len(video_files) > 0, "no unlabeled videos found"
         self.video_files = [str(v) for v in video_files]
         self.seq_len = int(sequence_length)
         self.h = int(resize_height)
         self.w = int(resize_width)
-        self.rng = np.random.default_rng(seed + shard_id)
+        self.seed = int(seed)
+        self.shard_id = int(shard_id)
         self.frame_counts = [count_frames(v) for v in self.video_files]
-        self._decoders: dict[int, VideoFrameDecoder] = {}
-        self._queue: queue.Queue = queue.Queue(maxsize=prefetch_batches)
+        n_workers = (
+            decode_threads if decode_threads is not None
+            else default_decode_threads()
+        )
+        self._n_workers = max(1, int(n_workers))
+        self._prefetch = int(prefetch_batches)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._thread.start()
+        self._cond = threading.Condition()
+        self._results: dict[int, dict] = {}
+        self._next_emit = 0
+        self._threads = [
+            threading.Thread(target=self._produce, args=(wid,), daemon=True)
+            for wid in range(self._n_workers)
+        ]
+        for t in self._threads:
+            t.start()
 
-    def _decoder(self, vid_idx: int) -> VideoFrameDecoder:
-        if vid_idx not in self._decoders:
-            self._decoders[vid_idx] = VideoFrameDecoder(
-                self.video_files[vid_idx], self.h, self.w
-            )
-        return self._decoders[vid_idx]
+    def _window_params(self, k: int) -> tuple[int, int]:
+        """Deterministic (video_idx, start_frame) for the k-th window —
+        a counter-keyed RNG stream, so the sample sequence is identical
+        for any decode-thread count (and per-host via ``shard_id``,
+        replacing the seeded DALI random reader, reference dali.py:580-592).
+        """
+        rng = np.random.default_rng([self.seed, self.shard_id, k])
+        vid_idx = int(rng.integers(len(self.video_files)))
+        n = self.frame_counts[vid_idx]
+        start = int(rng.integers(max(n - self.seq_len, 1)))
+        return vid_idx, start
 
-    def _produce(self) -> None:
-        while not self._stop.is_set():
-            vid_idx = int(self.rng.integers(len(self.video_files)))
-            n = self.frame_counts[vid_idx]
-            start = int(self.rng.integers(max(n - self.seq_len, 1)))
-            decoder = self._decoder(vid_idx)
-            decoder.seek(start)
-            frames = []
-            for _ in range(self.seq_len):
-                frame = decoder.read()
-                if frame is None:
-                    break
-                frames.append(frame)
-            if not frames:
-                continue
-            while len(frames) < self.seq_len:
-                frames.append(frames[-1])
-            # full-frame bbox in original video resolution (reference DALI
-            # batches carry orig_size for the model->frame remap)
-            bbox = np.tile(
-                np.array(
-                    [0.0, 0.0, decoder.orig_height, decoder.orig_width],
-                    dtype=np.float32,
-                ),
-                (self.seq_len, 1),
-            )
-            try:
-                self._queue.put(
-                    {"frames": np.stack(frames), "bbox": bbox}, timeout=5.0
-                )
-            except queue.Full:
-                continue
+    def _decode_window(self, decoder: VideoFrameDecoder, start: int) -> dict:
+        decoder.seek(start)
+        frames = []
+        for _ in range(self.seq_len):
+            frame = decoder.read()
+            if frame is None:
+                break
+            frames.append(frame)
+        if not frames:
+            frames = [np.zeros((self.h, self.w, 3), dtype=np.uint8)]
+        while len(frames) < self.seq_len:
+            frames.append(frames[-1])
+        # full-frame bbox in original video resolution (reference DALI
+        # batches carry orig_size for the model->frame remap)
+        bbox = np.tile(
+            np.array(
+                [0.0, 0.0, decoder.orig_height, decoder.orig_width],
+                dtype=np.float32,
+            ),
+            (self.seq_len, 1),
+        )
+        return {"frames": np.stack(frames), "bbox": bbox}
+
+    def _produce(self, wid: int) -> None:
+        decoders: dict[int, VideoFrameDecoder] = {}
+        max_lead = self._n_workers + self._prefetch
+        try:
+            k = wid
+            while not self._stop.is_set():
+                with self._cond:
+                    while (
+                        k - self._next_emit >= max_lead
+                        and not self._stop.is_set()
+                    ):
+                        self._cond.wait(timeout=0.5)
+                if self._stop.is_set():
+                    return
+                vid_idx, start = self._window_params(k)
+                if vid_idx not in decoders:
+                    decoders[vid_idx] = VideoFrameDecoder(
+                        self.video_files[vid_idx], self.h, self.w
+                    )
+                batch = self._decode_window(decoders[vid_idx], start)
+                with self._cond:
+                    self._results[k] = batch
+                    self._cond.notify_all()
+                k += self._n_workers
+        finally:
+            for d in decoders.values():
+                d.close()
 
     def __next__(self) -> dict:
-        return self._queue.get()
+        with self._cond:
+            k = self._next_emit
+            while k not in self._results and not self._stop.is_set():
+                self._cond.wait(timeout=0.5)
+            if self._stop.is_set() and k not in self._results:
+                raise StopIteration
+            batch = self._results.pop(k)
+            self._next_emit = k + 1
+            self._cond.notify_all()
+        return batch
 
     def close(self) -> None:
         self._stop.set()
-        # drain the queue so a blocked put() can observe the stop flag,
-        # then join before releasing decoders (cv2 teardown from a live
-        # daemon thread can crash at interpreter shutdown)
-        try:
-            while True:
-                self._queue.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=10.0)
-        for d in self._decoders.values():
-            d.close()
+        with self._cond:
+            self._cond.notify_all()
+        # join before decoders are garbage-collected (cv2 teardown from a
+        # live daemon thread can crash at interpreter shutdown)
+        for t in self._threads:
+            t.join(timeout=10.0)
 
 
 class MultiviewUnlabeledVideoLoader:

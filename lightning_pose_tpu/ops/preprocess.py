@@ -12,7 +12,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["normalize_images", "IMAGENET_MEAN", "IMAGENET_STD"]
+__all__ = [
+    "normalize_images",
+    "normalize_images_fused",
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -24,3 +29,27 @@ def normalize_images(images: jax.Array) -> jax.Array:
     mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32)
     std = jnp.asarray(IMAGENET_STD, dtype=jnp.float32)
     return (x - mean) / std
+
+
+def normalize_images_fused(images: jax.Array, out_dtype=None) -> jax.Array:
+    """Normalize with the fused Pallas kernel when profitable.
+
+    On TPU with uint8 input and an aligned shape, one VMEM pass reads uint8
+    and writes ``out_dtype`` directly (half the HBM write traffic of the
+    f32 XLA path when the backbone computes in bf16); otherwise falls back
+    to :func:`normalize_images` + cast.
+    """
+    if out_dtype is None:
+        out_dtype = jnp.float32
+    if (
+        images.dtype == jnp.uint8
+        and jax.default_backend() == "tpu"
+    ):
+        from lightning_pose_tpu.ops.pallas_preprocess import (
+            normalize_images_pallas,
+            pallas_preprocess_supported,
+        )
+
+        if pallas_preprocess_supported(images.shape):
+            return normalize_images_pallas(images, out_dtype=out_dtype)
+    return normalize_images(images).astype(out_dtype)

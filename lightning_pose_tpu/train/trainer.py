@@ -514,7 +514,9 @@ def make_step_fns(
         return logs, preds, confs
 
     def predict_step(state: TrainState, images_uint8: jax.Array, bbox: jax.Array):
-        images = normalize_images(images_uint8.astype(jnp.float32))
+        from lightning_pose_tpu.ops.preprocess import normalize_images_fused
+
+        images = normalize_images_fused(images_uint8)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if is_context:
             from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
@@ -804,6 +806,7 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     check_val_every = int(cfg.training.get("check_val_every_n_epoch", 5) or 5)
     log_every = int(cfg.training.get("log_every_n_steps", 10) or 10)
     ckpt_every = cfg.training.get("ckpt_every_n_epochs", None)
+    ckpt_backend = str(cfg.training.get("checkpoint_backend", "msgpack"))
     early_stopping = bool(cfg.training.get("early_stopping", False))
     patience = int(cfg.training.get("early_stop_patience", 3) or 3)
 
@@ -896,14 +899,14 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                 best_val = val_loss
                 bad_val_checks = 0
                 if is_main and best_ckpt_path and os.path.exists(best_ckpt_path):
-                    os.remove(best_ckpt_path)
+                    ckpt_utils.remove_checkpoint(best_ckpt_path)
                 best_ckpt_path = os.path.join(
                     ckpt_dir, f"epoch={epoch}-step={global_step}-best.ckpt"
                 )
                 if is_main:
                     ckpt_utils.save_checkpoint(
                         best_ckpt_path, state.params, state.batch_stats,
-                        global_step, epoch,
+                        global_step, epoch, backend=ckpt_backend,
                     )
             else:
                 bad_val_checks += 1
@@ -914,7 +917,8 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                         ckpt_dir, f"epoch={epoch}-step={global_step}.ckpt"
                     )
                     ckpt_utils.save_checkpoint(
-                        path, state.params, state.batch_stats, global_step, epoch
+                        path, state.params, state.batch_stats, global_step,
+                        epoch, backend=ckpt_backend,
                     )
 
             if (
@@ -933,9 +937,10 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         if is_main:
             ckpt_utils.save_checkpoint(
                 best_ckpt_path, state.params, state.batch_stats, global_step,
-                max_epochs - 1,
+                max_epochs - 1, backend=ckpt_backend,
             )
 
+    ckpt_utils.wait_for_saves()  # commit any in-flight async checkpoint
     if profiler_on:
         jax.profiler.stop_trace()
     if writer is not None:

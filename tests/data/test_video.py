@@ -100,3 +100,57 @@ def test_predict_loader_bbox_crop(video_file):
     )
     diff = np.abs(batch[0].astype(int) - manual.astype(int))
     assert diff.max() <= 2, f"max diff {diff.max()}"
+
+
+@pytest.mark.parametrize("do_context", [False, True])
+def test_parallel_decode_matches_serial(video_file, do_context):
+    """Window-sharded parallel decode emits the exact same batch stream as
+    the single-decoder path (seek-based decode is frame-accurate)."""
+    kwargs = dict(
+        video_file=video_file, sequence_length=16, resize_height=64,
+        resize_width=64, do_context=do_context,
+    )
+    serial = list(PredictVideoLoader(decode_threads=1, **kwargs))
+    parallel = list(PredictVideoLoader(decode_threads=3, **kwargs))
+    assert len(serial) == len(parallel)
+    for i, (a, b) in enumerate(zip(serial, parallel)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b, err_msg=f"batch {i}")
+
+
+def test_unlabeled_loader_thread_count_invariant(video_file):
+    """The seeded random-window sequence is identical for any decode-thread
+    count (counter-keyed RNG streams, not sequential draws)."""
+    def take(n_threads, n=4):
+        loader = UnlabeledVideoLoader(
+            [video_file], sequence_length=4, resize_height=32,
+            resize_width=32, seed=7, decode_threads=n_threads,
+        )
+        try:
+            return [next(loader) for _ in range(n)]
+        finally:
+            loader.close()
+
+    one = take(1)
+    three = take(3)
+    for a, b in zip(one, three):
+        np.testing.assert_array_equal(a["frames"], b["frames"])
+        np.testing.assert_array_equal(a["bbox"], b["bbox"])
+
+
+def test_unlabeled_loader_shard_id_decorrelates(video_file):
+    loader0 = UnlabeledVideoLoader(
+        [video_file], sequence_length=4, resize_height=32, resize_width=32,
+        seed=7, shard_id=0, decode_threads=1,
+    )
+    loader1 = UnlabeledVideoLoader(
+        [video_file], sequence_length=4, resize_height=32, resize_width=32,
+        seed=7, shard_id=1, decode_threads=1,
+    )
+    try:
+        a = [next(loader0)["frames"] for _ in range(3)]
+        b = [next(loader1)["frames"] for _ in range(3)]
+        assert any(not np.array_equal(x, y) for x, y in zip(a, b))
+    finally:
+        loader0.close()
+        loader1.close()

@@ -450,3 +450,81 @@ def test_vit_forward_non_square(rng):
     kp = np.asarray(kp).reshape(1, 3, 2)
     assert np.isfinite(kp).all()
     assert kp[..., 0].max() <= 256 and kp[..., 1].max() <= 128
+
+
+@pytest.mark.slow
+def test_train_hflip_left_right_pairs(cfg, toy_data_dir, tmp_path):
+    """Horizontal-flip augmentation end-to-end on a dataset with real
+    _left/_right keypoint pairs (training.imgaug_hflip, reference
+    datasets.py:175-232): train() runs, swap indices are built from the
+    CSV names, and artifacts are finite."""
+    import os
+
+    import pandas as pd
+
+    # re-label mirror-mouse's 17 keypoints as 8 left/right pairs + 1 neutral
+    pair_names = []
+    for i in range(8):
+        pair_names += [f"kp{i}_left", f"kp{i}_right"]
+    names = pair_names + ["center"]
+
+    df = pd.read_csv(
+        os.path.join(toy_data_dir, "CollectedData.csv"),
+        header=[0, 1, 2], index_col=0,
+    )
+    df.columns = pd.MultiIndex.from_tuples(
+        [(sc, names[i // 2], co) for i, (sc, _, co) in enumerate(df.columns)],
+        names=df.columns.names,
+    )
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    df.to_csv(data_dir / "CollectedData.csv")
+    os.symlink(
+        os.path.join(toy_data_dir, "labeled-data"), data_dir / "labeled-data"
+    )
+    os.symlink(os.path.join(toy_data_dir, "videos"), data_dir / "videos")
+
+    from lightning_pose_tpu.data.factory import get_dataset
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "hflip-test")
+    c.data.data_dir = str(data_dir)
+    c.data.video_dir = str(data_dir / "videos")
+    c.data.keypoint_names = names
+    c.training.imgaug_hflip = True
+    c.eval.predict_vids_after_training = False
+
+    # the dataset wires the left/right swap permutation from the CSV names
+    ds = get_dataset(c, data_dir=str(data_dir))
+    swap = ds.hflip_swap_indices
+    assert list(swap[:4]) == [1, 0, 3, 2]  # pairs swapped
+    assert swap[16] == 16  # neutral keypoint fixed
+
+    model_dir = tmp_path / "model"
+    train(c, model_dir=model_dir)
+    assert (model_dir / "predictions.csv").exists()
+    preds = pd.read_csv(
+        model_dir / "predictions.csv", header=[0, 1, 2], index_col=0
+    )
+    numeric = preds.loc[:, preds.columns.get_level_values(0) != "set"]
+    assert np.isfinite(numeric.to_numpy(dtype=float)).all()
+
+    # unpaired _left keypoints in the label CSV are rejected up front
+    bad_names = ["kp0_left", "kp0b"] + names[2:]  # kp0_right renamed away
+    bad_df = df.copy()
+    bad_df.columns = pd.MultiIndex.from_tuples(
+        [(sc, bad_names[i // 2], co)
+         for i, (sc, _, co) in enumerate(df.columns)],
+        names=df.columns.names,
+    )
+    bad_dir = tmp_path / "bad_data"
+    bad_dir.mkdir()
+    bad_df.to_csv(bad_dir / "CollectedData.csv")
+    os.symlink(
+        os.path.join(toy_data_dir, "labeled-data"), bad_dir / "labeled-data"
+    )
+    c_bad = c.copy()
+    c_bad.data.data_dir = str(bad_dir)
+    c_bad.data.keypoint_names = bad_names
+    with pytest.raises(ValueError, match="no _right partner"):
+        get_dataset(c_bad, data_dir=str(bad_dir))
