@@ -1,0 +1,189 @@
+"""Dataset-level tests mirroring the reference's test intents
+(reference tests/data/test_datasets.py): visibility-column parsing,
+context-frame stacks with edge handling, multiview batch contracts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.data.datasets import HeatmapDataset
+
+TOY = "/root/reference/data/mirror-mouse-example"
+
+
+@pytest.fixture(scope="module")
+def toy():
+    if not os.path.isdir(TOY):
+        pytest.skip("mirror-mouse example data not available")
+    return TOY
+
+
+# -- visibility-column parsing (reference test_datasets.py:1162-1260) ---------
+
+
+def _write_img(path, h=40, w=30):
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, np.random.randint(0, 255, (h, w, 3), dtype=np.uint8))
+
+
+@pytest.fixture()
+def visibility_data_dir(tmp_path):
+    """DLC CSV with a `visible` column; two keypoints, two frames."""
+    (tmp_path / "labels.csv").write_text(
+        "scorer,s,s,s,s,s,s\n"
+        "bodyparts,kp1,kp1,kp1,kp2,kp2,kp2\n"
+        "coords,x,y,visible,x,y,visible\n"
+        "img01.png,24.0,24.0,2,,,1\n"
+        "img02.png,12.0,30.0,2,,,0\n"
+    )
+    _write_img(str(tmp_path / "img01.png"))
+    _write_img(str(tmp_path / "img02.png"))
+    return tmp_path
+
+
+def test_visibility_column_parsed(visibility_data_dir):
+    ds = HeatmapDataset(
+        root_directory=str(visibility_data_dir), csv_path="labels.csv",
+        image_resize_height=128, image_resize_width=128,
+    )
+    assert ds.visibility is not None
+    assert ds.visibility.shape == (2, 2)
+    assert ds.visibility.dtype == np.int64
+    # frame 0: kp1 visible(2), kp2 occluded(1); frame 1: kp2 unlabeled(0)
+    assert ds.visibility[0, 0] == 2 and ds.visibility[0, 1] == 1
+    assert ds.visibility[1, 0] == 2 and ds.visibility[1, 1] == 0
+    # the sample carries the parsed flags verbatim
+    assert list(ds[0]["visibility"]) == [2, 1]
+    assert list(ds[1]["visibility"]) == [2, 0]
+
+
+def test_no_visibility_column(visibility_data_dir):
+    (visibility_data_dir / "plain.csv").write_text(
+        "scorer,s,s,s,s\n"
+        "bodyparts,kp1,kp1,kp2,kp2\n"
+        "coords,x,y,x,y\n"
+        "img01.png,24.0,24.0,12.0,30.0\n"
+        "img02.png,5.0,10.0,15.0,20.0\n"
+    )
+    ds = HeatmapDataset(
+        root_directory=str(visibility_data_dir), csv_path="plain.csv",
+        image_resize_height=128, image_resize_width=128,
+    )
+    assert ds.visibility is None
+    # without a visible column: labeled -> 2, NaN -> 0 (default semantics)
+    assert (ds[0]["visibility"] == 2).all()
+
+
+def test_invalid_visibility_value_raises(visibility_data_dir):
+    (visibility_data_dir / "bad.csv").write_text(
+        "scorer,s,s,s\n"
+        "bodyparts,kp1,kp1,kp1\n"
+        "coords,x,y,visible\n"
+        "img01.png,24.0,24.0,9\n"
+    )
+    with pytest.raises(ValueError, match="visibility column contains invalid"):
+        HeatmapDataset(
+            root_directory=str(visibility_data_dir), csv_path="bad.csv",
+            image_resize_height=128, image_resize_width=128,
+        )
+
+
+# -- context stacks (reference base.py:151-188 sliding-window semantics) ------
+
+
+def test_context_sample_shapes(toy):
+    ds = HeatmapDataset(
+        root_directory=toy, csv_path="CollectedData.csv",
+        image_resize_height=128, image_resize_width=128, do_context=True,
+    )
+    s = ds[10]
+    assert s["images"].shape == (5, 128, 128, 3)
+    assert s["images"].dtype == np.uint8
+    assert s["keypoints"].shape == (17, 2)
+
+
+def test_context_edge_frames_repeat(tmp_path):
+    """Frames whose +-2 context images do not exist on disk repeat the
+    center frame (reference get_context_img_paths + edge handling)."""
+    # one labeled frame with only its +1 neighbor on disk: -2/-1/+2 missing
+    (tmp_path / "labels.csv").write_text(
+        "scorer,s,s\n"
+        "bodyparts,kp1,kp1\n"
+        "coords,x,y\n"
+        "vid/img000010.png,24.0,24.0\n"
+    )
+    _write_img(str(tmp_path / "vid" / "img000010.png"))
+    _write_img(str(tmp_path / "vid" / "img000011.png"))
+    ds = HeatmapDataset(
+        root_directory=str(tmp_path), csv_path="labels.csv",
+        image_resize_height=128, image_resize_width=128, do_context=True,
+    )
+    stack = ds[0]["images"]
+    assert stack.shape == (5, 128, 128, 3)
+    center = stack[2]
+    # missing -2/-1/+2 neighbors are replaced by the center frame
+    np.testing.assert_array_equal(stack[0], center)
+    np.testing.assert_array_equal(stack[1], center)
+    np.testing.assert_array_equal(stack[4], center)
+    # the existing +1 neighbor is genuinely different
+    assert not np.array_equal(stack[3], center)
+
+
+# -- multiview dataset contracts ----------------------------------------------
+
+
+def test_multiview_batch_properties(cfg, mv_data_dir):
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    ds = MultiviewHeatmapDataset(cfg=c, data_dir=mv_data_dir)
+    assert len(ds.view_names) == 2
+    s = ds[0]
+    assert s["num_views"] == 2
+    assert s["images"].shape == (2, 128, 128, 3)  # (V, H, W, 3)
+    assert s["keypoints"].shape == (14, 2)  # view-major V*K
+    assert s["bbox"].shape == (8,)  # V * [x, y, h, w]
+    assert len(ds) == 90
+
+
+def test_multiview_mismatched_frames_raises(cfg, mv_data_dir, tmp_path):
+    """Views whose label CSVs index different frames are rejected
+    (the reference's cross-view consistency checks)."""
+    import pandas as pd
+
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    top = pd.read_csv(
+        os.path.join(mv_data_dir, "top.csv"), header=[0, 1, 2], index_col=0
+    )
+    top_short = top.iloc[:-5]
+    short_dir = tmp_path / "mv"
+    short_dir.mkdir()
+    top_short.to_csv(short_dir / "top.csv")
+    import shutil
+
+    shutil.copy(os.path.join(mv_data_dir, "bot.csv"), short_dir / "bot.csv")
+    os.symlink(
+        os.path.join(mv_data_dir, "labeled-data"), short_dir / "labeled-data"
+    )
+
+    c = cfg.copy()
+    c.data.data_dir = str(short_dir)
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    with pytest.raises((ValueError, RuntimeError, AssertionError)):
+        MultiviewHeatmapDataset(cfg=c, data_dir=str(short_dir))
