@@ -73,3 +73,59 @@ def test_compute_metrics_single_labeled(tmp_path, cfg, toy_data_dir):
     # set column is preserved in the side file
     side = pd.read_csv(tmp_path / "predictions_pixel_error.csv", index_col=0)
     assert "set" in side.columns
+
+
+def test_compute_metrics_single_with_visible_column(tmp_path, cfg):
+    """Labels CSVs carrying a per-keypoint `visible` coord column must not
+    break the (N, K, 2) reshape (reference regression test,
+    tests/test_metrics.py:62-124)."""
+    import pandas as pd
+
+    from lightning_pose_tpu.metrics import compute_metrics_single
+
+    n_frames, n_keypoints = 4, 3
+    keypoints = [f"kp{i}" for i in range(n_keypoints)]
+    frames = [f"labeled-data/s/frame{i:04d}.png" for i in range(n_frames)]
+    rng = np.random.default_rng(0)
+
+    label_cols = pd.MultiIndex.from_tuples(
+        [("sc", kp, c) for kp in keypoints for c in ("x", "y", "visible")],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    labels = pd.DataFrame(
+        np.column_stack(
+            [rng.random(n_frames) * 100 if c in ("x", "y")
+             else np.full(n_frames, 2.0)
+             for _, _, c in label_cols]
+        ),
+        index=pd.Index(frames), columns=label_cols,
+    )
+    labels.to_csv(tmp_path / "labels.csv")
+
+    pred_cols = pd.MultiIndex.from_tuples(
+        [("sc", kp, c) for kp in keypoints for c in ("x", "y", "likelihood")]
+        + [("set", "set", "set")],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    preds = pd.DataFrame(index=pd.Index(frames), columns=pred_cols)
+    for col in pred_cols:
+        if col[2] in ("x", "y"):
+            preds[col] = rng.random(n_frames) * 100
+        elif col[2] == "likelihood":
+            preds[col] = 0.9
+        else:
+            preds[col] = "train"
+    preds.to_csv(tmp_path / "predictions.csv")
+
+    c = cfg.copy()
+    c.data.keypoint_names = keypoints
+    c.data.num_keypoints = n_keypoints
+    c.data.columns_for_singleview_pca = None
+    c.data.mirrored_column_matches = None
+    result = compute_metrics_single(
+        cfg=c, labels_file=tmp_path / "labels.csv",
+        preds_file=tmp_path / "predictions.csv",
+    )
+    assert result.pixel_error_df is not None
+    assert result.pixel_error_df.shape == (n_frames, n_keypoints + 1)  # + set
+    assert list(result.pixel_error_df.columns[:n_keypoints]) == keypoints

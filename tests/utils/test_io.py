@@ -112,3 +112,116 @@ def test_fix_empty_first_row():
     assert fixed.index.name is None
     assert len(fixed) == 2
     assert np.isnan(fixed.iloc[0, 0])
+
+
+# -- checkpoint discovery edge cases (reference test_io.py:78-232) -------------
+
+
+def _touch_ckpts(tmp_path, model_name, version, names, logging_dir="tb_logs"):
+    import os
+
+    d = tmp_path / logging_dir / model_name / f"version_{version}" / "checkpoints"
+    d.mkdir(parents=True, exist_ok=True)
+    for n in names:
+        (d / n).write_bytes(b"x")
+    return d
+
+
+def test_ckpt_discovery_no_checkpoints(tmp_path):
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    assert ckpt_path_from_base_path(str(tmp_path), "m") is None
+    (tmp_path / "tb_logs" / "m" / "version_0" / "checkpoints").mkdir(parents=True)
+    assert ckpt_path_from_base_path(str(tmp_path), "m") is None
+
+
+def test_ckpt_discovery_multiple_best_picks_highest_step(tmp_path, caplog):
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    _touch_ckpts(tmp_path, "m", 0,
+                 ["epoch=1-step=10-best.ckpt", "epoch=3-step=30-best.ckpt"])
+    found = ckpt_path_from_base_path(str(tmp_path), "m")
+    assert found.endswith("epoch=3-step=30-best.ckpt")
+
+
+def test_ckpt_discovery_highest_version_wins(tmp_path):
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    _touch_ckpts(tmp_path, "m", 0, ["epoch=9-step=90-best.ckpt"])
+    _touch_ckpts(tmp_path, "m", 2, ["epoch=1-step=10-best.ckpt"])
+    found = ckpt_path_from_base_path(str(tmp_path), "m")
+    assert "version_2" in found
+
+
+def test_ckpt_discovery_no_best_falls_back_to_highest_step(tmp_path):
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    _touch_ckpts(tmp_path, "m", 0,
+                 ["epoch=1-step=10.ckpt", "epoch=5-step=50.ckpt"])
+    found = ckpt_path_from_base_path(str(tmp_path), "m")
+    assert found.endswith("epoch=5-step=50.ckpt")
+
+
+def test_ckpt_discovery_single_non_best(tmp_path):
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    _touch_ckpts(tmp_path, "m", 0, ["last.ckpt"])
+    found = ckpt_path_from_base_path(str(tmp_path), "m")
+    assert found.endswith("last.ckpt")
+
+
+def test_ckpt_discovery_unparseable_steps_raises(tmp_path):
+    import pytest
+
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    _touch_ckpts(tmp_path, "m", 0, ["alpha.ckpt", "beta.ckpt"])
+    with pytest.raises(ValueError, match="manually select"):
+        ckpt_path_from_base_path(str(tmp_path), "m")
+
+
+def test_ckpt_discovery_custom_logging_dir(tmp_path):
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    _touch_ckpts(tmp_path, "m", 0, ["epoch=0-step=1-best.ckpt"],
+                 logging_dir="custom_logs")
+    assert ckpt_path_from_base_path(str(tmp_path), "m") is None
+    found = ckpt_path_from_base_path(
+        str(tmp_path), "m", logging_dir_name="custom_logs"
+    )
+    assert found is not None and "custom_logs" in found
+
+
+def test_find_video_files_for_views(tmp_path):
+    from lightning_pose_tpu.utils.io import find_video_files_for_views
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    for name in ["sessA_top.mp4", "sessA_bot.mp4",
+                 "sessB_top.mp4", "sessB_bot.mp4"]:
+        (vids / name).write_bytes(b"x")
+    sessions = find_video_files_for_views(str(vids), ["top", "bot"])
+    assert len(sessions) == 2
+    for views in sessions:
+        assert len(views) == 2
+        # per-session ordering follows view_names
+        assert "top" in str(views[0]) and "bot" in str(views[1])
+
+
+def test_find_video_files_for_views_skips_incomplete_sessions(tmp_path):
+    """Sessions missing a view are silently skipped (reference
+    utils/io.py:622-627), and an empty video dir raises."""
+    import pytest
+
+    from lightning_pose_tpu.utils.io import find_video_files_for_views
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    with pytest.raises(FileNotFoundError, match="No video files"):
+        find_video_files_for_views(str(vids), ["top", "bot"])
+    (vids / "sessA_top.mp4").write_bytes(b"x")  # bot view missing
+    (vids / "sessB_top.mp4").write_bytes(b"x")
+    (vids / "sessB_bot.mp4").write_bytes(b"x")
+    sessions = find_video_files_for_views(str(vids), ["top", "bot"])
+    assert len(sessions) == 1
+    assert all("sessB" in str(v) for v in sessions[0])
