@@ -128,6 +128,21 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def shard_stacked_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put (steps, batch, ...) pytrees with axis 1 (batch) sharded —
+    the layout consumed by the epoch-level ``lax.scan`` train loop, where
+    axis 0 is the scanned step axis."""
+    sharding = NamedSharding(mesh, P(None, "data"))
+    scalar_sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if np.ndim(x) == 0:
+            return _put_global(x, scalar_sharding)
+        return _put_global(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def shard_local_batch(mesh: Mesh, batch: Any) -> Any:
     """Assemble per-process local shards into global batch-sharded arrays.
 

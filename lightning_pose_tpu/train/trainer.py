@@ -559,11 +559,31 @@ def make_step_fns(
             batch["unlabeled"] = unlabeled
         return train_step(state, batch, rng)
 
+    def train_epoch_cached(state, cache, idxs_all, valid_all, rng):
+        """A whole epoch as one ``lax.scan`` over the cached train step:
+        ONE device program per epoch instead of one per step — per-step
+        dispatch/RPC overhead disappears and XLA can overlap the next
+        step's gather with the current step's backward pass. Supervised
+        device-cache path only (the semi-supervised path needs host video
+        data every step).
+
+        idxs_all/valid_all: (steps, batch) stacked index batches.
+        Returns (state, logs stacked along axis 0).
+        """
+
+        def body(st, xs):
+            idxs, valid = xs
+            st, logs = train_step_cached(st, cache, idxs, valid, rng, {})
+            return st, logs
+
+        return jax.lax.scan(body, state, (idxs_all, valid_all))
+
     return (
         jax.jit(train_step, donate_argnums=0),
         jax.jit(eval_step, static_argnames="stage"),
         jax.jit(predict_step),
         jax.jit(train_step_cached, donate_argnums=0),
+        jax.jit(train_epoch_cached, donate_argnums=0),
     )
 
 
@@ -741,7 +761,7 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         hflip_swap_indices=dataset.hflip_swap_indices,
     )
 
-    train_step, eval_step, predict_step, train_step_cached = make_step_fns(
+    train_step, eval_step, predict_step, train_step_cached, train_epoch_cached = make_step_fns(
         module, meta, loss_factories, augmenter, cfg, tx, steps_per_epoch
     )
 
@@ -835,13 +855,60 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     if profiler_on:
         jax.profiler.start_trace(version_dir)
 
+    # OPT-IN: fully-supervised device-cache training can scan the whole
+    # epoch in ONE device program (lax.scan over the cached step), removing
+    # per-step dispatch overhead (cfg.training.scan_epochs: true). Off by
+    # default: through this rig's remote-device tunnel the single large
+    # program measured slower than pipelined per-step dispatch, so the win
+    # is hardware-dependent — validate on a local TPU-VM before enabling.
+    # The semi-supervised path needs host video data every step, so it
+    # always keeps the per-step loop.
+    use_epoch_scan = (
+        bool(cfg.training.get("scan_epochs", False))
+        and device_cache is not None
+        and not hasattr(data_module, "unlabeled_loader")
+    )
+
+    max_train_steps = int(sched_cfg["max_steps"])
+
     for epoch in range(max_epochs):
-        if device_cache is not None:
+        # in step mode the final epoch may be partial (the reference's PL
+        # Trainer stops exactly at max_steps)
+        steps_this_epoch = min(steps_per_epoch, max_train_steps - global_step)
+        if steps_this_epoch <= 0:
+            break
+        if use_epoch_scan:
+            pairs = list(
+                data_module.train_index_batches(epoch, steps=steps_this_epoch)
+            )
+            from lightning_pose_tpu.parallel.mesh import shard_stacked_batch
+
+            state, logs_stack = train_epoch_cached(
+                state,
+                device_cache,
+                shard_stacked_batch(mesh, np.stack([p[0] for p in pairs])),
+                shard_stacked_batch(mesh, np.stack([p[1] for p in pairs])),
+                data_rng,
+            )
+            steps_done = len(pairs)
+            if writer is not None:
+                logs_np = {k: np.asarray(v) for k, v in logs_stack.items()}
+                for s in range(steps_done):
+                    gs = global_step + s + 1
+                    if gs % log_every == 0:
+                        for k, v in logs_np.items():
+                            writer.add_scalar(k, float(v[s]), gs)
+                        writer.add_scalar("lr-head", float(head_sched(gs)), gs)
+                        writer.add_scalar("lr-backbone", float(bb_sched(gs)), gs)
+                        writer.add_scalar("epoch", epoch, gs)
+            global_step += steps_done
+            batch_iter = ()
+        elif device_cache is not None:
             batch_iter = data_module.train_index_batches(
-                epoch, steps=steps_per_epoch
+                epoch, steps=steps_this_epoch
             )
         else:
-            batch_iter = data_module.train_batches(epoch, steps=steps_per_epoch)
+            batch_iter = data_module.train_batches(epoch, steps=steps_this_epoch)
         for item in batch_iter:
             if device_cache is not None:
                 idxs, valid = item

@@ -93,22 +93,28 @@ def test_train_data_parallel_2_devices(cfg, tmp_path):
 
 @pytest.mark.slow
 def test_train_steps_mode(cfg, tmp_path):
-    """Step-based training config (max_steps/unfreezing_step) works."""
+    """Step-based training config (max_steps/unfreezing_step) stops at
+    exactly max_steps, with the opt-in epoch-scan loop (partial final
+    epoch exercises the short-scan recompile)."""
     from lightning_pose_tpu.train import train
 
     c = _small_train_cfg(cfg, "steps-test")
     c.training.max_epochs = None
     c.training.min_epochs = None
     c.training.unfreezing_epoch = None
-    c.training.max_steps = 4
-    c.training.min_steps = 4
+    c.training.max_steps = 3  # steps_per_epoch=2 -> final epoch is partial
+    c.training.min_steps = 3
     c.training.unfreezing_step = 0
+    c.training.scan_epochs = True
     c.training.lr_scheduler_params.multisteplr.milestones = None
     c.training.lr_scheduler_params.multisteplr.milestone_steps = [2]
     train(c, model_dir=tmp_path, skip_evaluation=True)
+    from lightning_pose_tpu.train.checkpoints import load_checkpoint
     from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
 
-    assert ckpt_path_from_base_path(str(tmp_path), "steps-test") is not None
+    ckpt = ckpt_path_from_base_path(str(tmp_path), "steps-test")
+    assert ckpt is not None
+    assert int(load_checkpoint(ckpt)["step"]) == 3  # stopped exactly
 
 
 def test_calculate_steps_per_epoch(cfg, toy_data_dir):
@@ -223,7 +229,7 @@ def test_cached_and_uncached_steps_equivalent(cfg, toy_data_dir):
     )
     lf = get_loss_factories(c, dm)
     aug = AugmentationEngine("default", 128, 128)
-    train_step, _, _, train_step_cached = make_step_fns(
+    train_step, _, _, train_step_cached, _ = make_step_fns(
         module, meta, lf, aug, c, tx, 10
     )
 
@@ -528,3 +534,81 @@ def test_train_hflip_left_right_pairs(cfg, toy_data_dir, tmp_path):
     c_bad.data.keypoint_names = bad_names
     with pytest.raises(ValueError, match="no _right partner"):
         get_dataset(c_bad, data_dir=str(bad_dir))
+
+
+@pytest.mark.slow
+def test_epoch_scan_matches_per_step(cfg, toy_data_dir):
+    """The lax.scan epoch program must produce exactly the same parameter
+    trajectory as stepping the cached train step one batch at a time."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.data.factory import get_data_module, get_dataset
+    from lightning_pose_tpu.losses.factory import get_loss_factories
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.ops.augment import AugmentationEngine
+    from lightning_pose_tpu.train.trainer import (
+        TrainState,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    c = cfg.copy()
+    c.training.imgaug = "default"
+    c.training.train_batch_size = 4
+    dataset = get_dataset(c, toy_data_dir)
+    dm = get_data_module(c, dataset)
+    module, meta = get_model(c, num_keypoints=dataset.num_keypoints,
+                             compute_dtype=jnp.float32)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+    )
+    tx, _, _ = make_optimizer(c, 10, variables["params"])
+    lf = get_loss_factories(c, dm)
+    aug = AugmentationEngine("default", 128, 128)
+    _, _, _, step_fn, epoch_fn = make_step_fns(module, meta, lf, aug, c, tx, 10)
+
+    cache = {
+        k: jnp.asarray(
+            np.stack([np.asarray(dataset[i][k]) for i in range(len(dataset))])
+        )
+        for k in ("images", "keypoints", "visibility", "bbox")
+    }
+    rng_key = jax.random.PRNGKey(11)
+    n_steps = 3
+    idxs_all = np.stack(
+        [np.asarray(dm.train_dataset.indices[i * 4:(i + 1) * 4], np.int32)
+         for i in range(n_steps)]
+    )
+    valid_all = np.ones((n_steps, 4), bool)
+
+    def fresh_state(params, stats):
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params,
+            batch_stats=stats, opt_state=tx.init(params),
+        )
+
+    pa = jax.tree_util.tree_map(jnp.copy, variables["params"])
+    sa = jax.tree_util.tree_map(jnp.copy, variables.get("batch_stats", {}))
+    state = fresh_state(pa, sa)
+    per_step_losses = []
+    for i in range(n_steps):
+        state, logs = step_fn(
+            state, cache, jnp.asarray(idxs_all[i]),
+            jnp.asarray(valid_all[i]), rng_key, {},
+        )
+        per_step_losses.append(float(logs["total_loss"]))
+    p_seq = np.asarray(state.params["head"]["deconv0"]["kernel"])
+
+    pb = jax.tree_util.tree_map(jnp.copy, variables["params"])
+    sb = jax.tree_util.tree_map(jnp.copy, variables.get("batch_stats", {}))
+    state2, logs_stack = epoch_fn(
+        fresh_state(pb, sb), cache, jnp.asarray(idxs_all),
+        jnp.asarray(valid_all), rng_key,
+    )
+    p_scan = np.asarray(state2.params["head"]["deconv0"]["kernel"])
+    scan_losses = [float(v) for v in np.asarray(logs_stack["total_loss"])]
+
+    np.testing.assert_allclose(scan_losses, per_step_losses, rtol=1e-5)
+    np.testing.assert_allclose(p_scan, p_seq, atol=1e-6)
+    assert int(state2.step) == n_steps
