@@ -540,6 +540,50 @@ class Model:
         logger.info(f"exported serialized XLA program to {path}")
         return str(path)
 
+    def use_exported_runtime(self, path: str | Path | None = None) -> None:
+        """Route predictions through a serialized XLA export instead of the
+        live checkpoint (the reference's ``--runtime onnx``,
+        model.py:469-594). ``path`` defaults to the single ``.jax_export``
+        under ``<model_dir>/exports_xla``.
+
+        The exported program has fixed input shapes
+        ``(sequence_length, H, W, 3)`` — it serves the video path; other
+        batch shapes raise with a pointer back to the eager runtime.
+        """
+        self._load()
+        if path is None:
+            candidates = sorted(
+                (self.model_dir / "exports_xla").glob("*.jax_export")
+            )
+            if len(candidates) != 1:
+                raise FileNotFoundError(
+                    f"expected exactly one .jax_export under "
+                    f"{self.model_dir / 'exports_xla'}, found "
+                    f"{len(candidates)}; run `litpose export` first or pass "
+                    "an explicit path"
+                )
+            path = candidates[0]
+        fn = Model.load_exported(path)
+        expected = tuple(fn.__self__.in_avals[0].shape)  # (T, H, W, 3)
+
+        def exported_predict(state, images_uint8, bbox):
+            import jax.numpy as jnp
+
+            images_uint8 = jnp.asarray(images_uint8)
+            if tuple(images_uint8.shape) != expected:
+                raise ValueError(
+                    f"exported program expects images {expected}, got "
+                    f"{tuple(images_uint8.shape)}; use the eager runtime for "
+                    "non-video batch shapes"
+                )
+            return fn(
+                images_uint8.astype(jnp.uint8),
+                jnp.asarray(bbox, jnp.float32),
+            )
+
+        self._predict_fn = exported_predict
+        logger.info(f"predictions now run the exported program at {path}")
+
     @staticmethod
     def load_exported(path: str | Path):
         """Load a serialized XLA prediction program (the ORT-runtime analog,

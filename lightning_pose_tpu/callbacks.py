@@ -97,22 +97,35 @@ class JSONTrainingProgressTracker:
 
 
 class JSONInferenceProgressTracker:
-    """Atomic-write inference progress JSON (reference callbacks.py:454-524)."""
+    """Atomic-write inference progress JSON with the reference's schema
+    ``{"completed": N, "total": T, "timestamp": ...}`` so the LP App can
+    consume it unchanged (reference callbacks.py:454-525)."""
 
     def __init__(self, status_file: str | Path, total_batches: int) -> None:
+        import os
+
         self.status_file = Path(status_file)
         self.total_batches = max(int(total_batches), 1)
         self._n = 0
+        os.makedirs(os.path.dirname(self.status_file) or ".", exist_ok=True)
+        self._save()
 
-    def step(self) -> None:
-        self._n += 1
+    def _save(self) -> None:
+        import time
+
         _atomic_write_json(
             self.status_file,
             {
-                "status": "PREDICTING",
-                "progress": round(100.0 * self._n / self.total_batches, 2),
+                "completed": self._n,
+                "total": self.total_batches,
+                "timestamp": time.time(),
             },
         )
 
+    def step(self) -> None:
+        self._n += 1
+        self._save()
+
     def finish(self) -> None:
-        _atomic_write_json(self.status_file, {"status": "COMPLETE", "progress": 100.0})
+        self._n = self.total_batches
+        self._save()

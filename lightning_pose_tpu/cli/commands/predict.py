@@ -49,6 +49,16 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
         help="directory of per-video <stem>_bbox.csv files for bbox-crop "
         "inference (the cropzoom pipeline)",
     )
+    p.add_argument(
+        "--runtime", choices=["eager", "exported"], default="eager",
+        help="inference backend: 'eager' runs the trained checkpoint; "
+        "'exported' runs the serialized XLA program written by "
+        "`litpose export` (the reference's --runtime onnx analog; video "
+        "inputs only — the export has fixed batch shapes)",
+    )
+    # app support: JSON progress file updated per batch (reference
+    # --progress_file, cli/commands/predict.py:160-167)
+    p.add_argument("--progress_file", type=Path, help=argparse.SUPPRESS)
     return p
 
 
@@ -60,6 +70,13 @@ def handle(args: argparse.Namespace) -> None:
         args.model_dir, hydra_overrides=list(args.overrides),
         precision=args.precision,
     )
+    if getattr(args, "runtime", "eager") == "exported":
+        if any(Path(p).suffix == ".csv" for p in args.input_path):
+            raise ValueError(
+                "--runtime exported serves video inputs only (the export "
+                "has fixed batch shapes); use the eager runtime for CSVs"
+            )
+        model.use_exported_runtime()
     if args.compile:
         model.compile()
 
@@ -67,14 +84,27 @@ def handle(args: argparse.Namespace) -> None:
         _predict_multiview(model, args)
         return
 
+    inputs = []
     for input_path in args.input_path:
         input_path = Path(input_path)
         if input_path.is_dir():
-            files = check_video_paths(str(input_path))
-            for f in files:
-                _predict_one(model, Path(f), args)
+            inputs += [Path(f) for f in check_video_paths(str(input_path))]
         else:
-            _predict_one(model, input_path, args)
+            inputs.append(input_path)
+
+    progress = None
+    if getattr(args, "progress_file", None):
+        from lightning_pose_tpu.callbacks import JSONInferenceProgressTracker
+
+        progress = JSONInferenceProgressTracker(
+            args.progress_file, total_batches=len(inputs)
+        )
+    for input_path in inputs:
+        _predict_one(model, input_path, args)
+        if progress is not None:
+            progress.step()
+    if progress is not None:
+        progress.finish()
 
 
 def _predict_multiview(model, args: argparse.Namespace) -> None:

@@ -124,3 +124,63 @@ eval:
     csv = f"{toy_data_dir}/CollectedData.csv"
     assert main(["predict", str(out_dir), csv]) == 0
     assert (out_dir / "image_preds" / "CollectedData.csv" / "predictions.csv").exists()
+
+
+@pytest.mark.slow
+def test_cli_predict_exported_runtime(tmp_path, toy_data_dir):
+    """litpose export -> predict --runtime exported serves video inputs
+    from the serialized XLA program (reference --runtime onnx analog),
+    updating the hidden --progress_file."""
+    import json
+
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        f"""
+data:
+  image_resize_dims: {{height: 128, width: 128}}
+  data_dir: {toy_data_dir}
+  video_dir: {toy_data_dir}/videos
+  csv_file: CollectedData.csv
+  num_keypoints: 17
+training:
+  imgaug: default
+  train_batch_size: 8
+  train_prob: 0.8
+  val_prob: 0.1
+  train_frames: 8
+  max_epochs: 1
+  min_epochs: 1
+  check_val_every_n_epoch: 1
+  unfreezing_epoch: 0
+  lr_scheduler_params: {{multisteplr: {{milestones: [1]}}}}
+model:
+  backbone: resnet18
+  model_type: heatmap
+  model_name: cli-exported
+eval:
+  predict_vids_after_training: false
+dali:
+  base: {{predict: {{sequence_length: 128}}}}
+"""
+    )
+    out_dir = tmp_path / "model"
+    assert main(["train", str(cfg_file), "--output_dir", str(out_dir)]) == 0
+    assert main(["export", str(out_dir)]) == 0
+    assert (out_dir / "exports_xla" / "predict.jax_export").exists()
+
+    video = f"{toy_data_dir}/videos/test_vid.mp4"
+    progress = tmp_path / "progress.json"
+    assert main([
+        "predict", str(out_dir), video, "--runtime", "exported",
+        "--skip_viz", "--progress_file", str(progress),
+    ]) == 0
+    assert (out_dir / "video_preds" / "test_vid.csv").exists()
+    payload = json.loads(progress.read_text())
+    assert payload["completed"] == payload["total"] == 1
+
+    # CSV inputs are rejected on the exported runtime (fixed batch shapes)
+    with pytest.raises(ValueError, match="video inputs only"):
+        main([
+            "predict", str(out_dir), f"{toy_data_dir}/CollectedData.csv",
+            "--runtime", "exported",
+        ])

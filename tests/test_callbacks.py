@@ -47,12 +47,18 @@ def test_json_training_tracker(tmp_path):
 
 
 def test_json_inference_tracker(tmp_path):
+    """Reference schema: {"completed", "total", "timestamp"}
+    (reference callbacks.py:475-482)."""
     path = tmp_path / "status.json"
     tracker = JSONInferenceProgressTracker(path, total_batches=4)
+    payload = json.loads(path.read_text())  # written eagerly at init
+    assert payload["completed"] == 0 and payload["total"] == 4
     tracker.step()
-    assert json.loads(path.read_text())["progress"] == 25.0
+    payload = json.loads(path.read_text())
+    assert payload["completed"] == 1 and payload["total"] == 4
+    assert "timestamp" in payload
     tracker.finish()
-    assert json.loads(path.read_text())["status"] == "COMPLETE"
+    assert json.loads(path.read_text())["completed"] == 4
 
 
 def test_migrations(tmp_path):

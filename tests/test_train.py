@@ -72,6 +72,27 @@ def test_train_artifact_contract(cfg, tmp_path):
     )
     assert result["keypoints"].shape == (17, 2)
 
+    # serialized-XLA export round trip matches the live prediction program
+    # (the reference's ONNX export/runtime contract, model.py:615-704)
+    path = m.export(output_dir=tmp_path / "exports_xla")
+    fn = Model.load_exported(path)
+    seq_len = int(m.cfg.dali.base.predict.sequence_length)
+    h = int(m.cfg.data.image_resize_dims.height)
+    w = int(m.cfg.data.image_resize_dims.width)
+    rng_np = np.random.default_rng(0)
+    imgs = rng_np.integers(0, 256, (seq_len, h, w, 3)).astype(np.uint8)
+    bbox = np.tile(
+        np.array([0.0, 0.0, 406.0, 396.0], np.float32), (seq_len, 1)
+    )
+    kp_exp, conf_exp = fn(imgs, bbox)
+    kp_live, conf_live = m._predict_fn(m._state, imgs, bbox)
+    np.testing.assert_allclose(
+        np.asarray(kp_exp), np.asarray(kp_live), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(conf_exp), np.asarray(conf_live), atol=1e-4
+    )
+
 
 @pytest.mark.slow
 @pytest.mark.multichip
