@@ -565,33 +565,46 @@ class MultiviewUnlabeledVideoLoader:
             self._decoders[path] = VideoFrameDecoder(path, self.h, self.w)
         return self._decoders[path]
 
+    def _decode_view(self, path: str, start: int) -> tuple[np.ndarray, np.ndarray]:
+        decoder = self._decoder(path)
+        decoder.seek(start)
+        frames = []
+        for _ in range(self.seq_len):
+            frame = decoder.read()
+            if frame is None:
+                break
+            frames.append(frame)
+        while len(frames) < self.seq_len:
+            frames.append(frames[-1])
+        bbox = np.tile(
+            np.array(
+                [0.0, 0.0, decoder.orig_height, decoder.orig_width],
+                dtype=np.float32,
+            ),
+            (self.seq_len, 1),
+        )
+        return np.stack(frames), bbox
+
     def __next__(self) -> dict:
         s = int(self.rng.integers(len(self.sessions)))
         n = self.frame_counts[s]
         start = int(self.rng.integers(max(n - self.seq_len, 1)))
-        view_frames = []
-        bboxes = []
-        for path in self.sessions[s]:
-            decoder = self._decoder(path)
-            decoder.seek(start)
-            frames = []
-            for _ in range(self.seq_len):
-                frame = decoder.read()
-                if frame is None:
-                    break
-                frames.append(frame)
-            while len(frames) < self.seq_len:
-                frames.append(frames[-1])
-            view_frames.append(np.stack(frames))
-            bboxes.append(
-                np.tile(
-                    np.array(
-                        [0.0, 0.0, decoder.orig_height, decoder.orig_width],
-                        dtype=np.float32,
-                    ),
-                    (self.seq_len, 1),
+        views = self.sessions[s]
+        if len(views) > 1 and default_decode_threads() > 1:
+            # each view is an independent stream: decode them concurrently
+            from concurrent.futures import ThreadPoolExecutor
+
+            if not hasattr(self, "_pool"):
+                self._pool = ThreadPoolExecutor(
+                    max_workers=min(len(views), default_decode_threads())
                 )
+            results = list(
+                self._pool.map(lambda p: self._decode_view(p, start), views)
             )
+        else:
+            results = [self._decode_view(p, start) for p in views]
+        view_frames = [r[0] for r in results]
+        bboxes = [r[1] for r in results]
         return {
             "frames": np.stack(view_frames, axis=1),  # (T, V, H, W, 3)
             "bbox": np.concatenate(bboxes, axis=1),  # (T, V*4)
@@ -599,6 +612,8 @@ class MultiviewUnlabeledVideoLoader:
         }
 
     def close(self) -> None:
+        if hasattr(self, "_pool"):
+            self._pool.shutdown(wait=True)
         for d in self._decoders.values():
             d.close()
 

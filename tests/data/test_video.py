@@ -154,3 +154,34 @@ def test_unlabeled_loader_shard_id_decorrelates(video_file):
     finally:
         loader0.close()
         loader1.close()
+
+
+def test_multiview_unlabeled_loader_parallel_views(mv_data_dir, monkeypatch):
+    """Per-view concurrent decode yields the same frame-synchronized
+    windows as serial view iteration."""
+    import os
+
+    from lightning_pose_tpu.data.video import MultiviewUnlabeledVideoLoader
+
+    session = [
+        os.path.join(mv_data_dir, "videos", "test_vid_top.mp4"),
+        os.path.join(mv_data_dir, "videos", "test_vid_bot.mp4"),
+    ]
+
+    def take(n_threads, n=3):
+        monkeypatch.setenv("LP_TPU_DECODE_THREADS", str(n_threads))
+        loader = MultiviewUnlabeledVideoLoader(
+            sessions=[session], sequence_length=4,
+            resize_height=32, resize_width=32, seed=5,
+        )
+        try:
+            return [next(loader) for _ in range(n)]
+        finally:
+            loader.close()
+
+    serial = take(1)
+    parallel = take(3)
+    for a, b in zip(serial, parallel):
+        assert a["frames"].shape == (4, 2, 32, 32, 3)
+        np.testing.assert_array_equal(a["frames"], b["frames"])
+        np.testing.assert_array_equal(a["bbox"], b["bbox"])
