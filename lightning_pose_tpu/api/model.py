@@ -283,9 +283,11 @@ class Model:
         generate_labeled_video: bool = False,
         output_dir: str | Path | None = None,
         bbox_df=None,
+        progress_file: str | Path | None = None,
     ):
         """Predict a video; write video_preds/<stem>.csv
-        (reference model.py:1139). ``bbox_df`` enables bbox-crop inference."""
+        (reference model.py:1139). ``bbox_df`` enables bbox-crop inference;
+        ``progress_file`` writes per-batch App progress JSON."""
         self._load()
         from lightning_pose_tpu.utils.video_predictions import predict_video
 
@@ -302,6 +304,7 @@ class Model:
             generate_labeled_video=generate_labeled_video,
             compute_metrics=compute_metrics,
             bbox_df=bbox_df,
+            progress_file=progress_file,
         )
 
     def predict_on_video_file_multiview(

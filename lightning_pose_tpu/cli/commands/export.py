@@ -17,7 +17,12 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
     p = subparsers.add_parser(
         NAME, description="Export a trained model as a serialized XLA program."
     )
-    p.add_argument("model_dir", type=Path, help="trained model directory")
+    from lightning_pose_tpu.cli import types as cli_types
+
+    p.add_argument(
+        "model_dir", type=cli_types.existing_model_dir,
+        help="trained model directory",
+    )
     p.add_argument("--output_dir", type=Path, default=None)
     return p
 

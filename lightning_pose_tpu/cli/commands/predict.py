@@ -21,7 +21,12 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
             "image_preds/<csv>/predictions.csv."
         ),
     )
-    p.add_argument("model_dir", type=Path, help="trained model directory")
+    from lightning_pose_tpu.cli import types as cli_types
+
+    p.add_argument(
+        "model_dir", type=cli_types.existing_model_dir,
+        help="trained model directory",
+    )
     p.add_argument(
         "input_path",
         type=Path,
@@ -92,19 +97,8 @@ def handle(args: argparse.Namespace) -> None:
         else:
             inputs.append(input_path)
 
-    progress = None
-    if getattr(args, "progress_file", None):
-        from lightning_pose_tpu.callbacks import JSONInferenceProgressTracker
-
-        progress = JSONInferenceProgressTracker(
-            args.progress_file, total_batches=len(inputs)
-        )
     for input_path in inputs:
         _predict_one(model, input_path, args)
-        if progress is not None:
-            progress.step()
-    if progress is not None:
-        progress.finish()
 
 
 def _predict_multiview(model, args: argparse.Namespace) -> None:
@@ -161,6 +155,7 @@ def _predict_one(model, input_path: Path, args: argparse.Namespace) -> None:
             generate_labeled_video=not args.skip_viz,
             output_dir=args.output_dir,
             bbox_df=bbox_df,
+            progress_file=getattr(args, "progress_file", None),
         )
     elif input_path.suffix == ".csv":
         preds_file = model.image_preds_dir() / input_path.name / "predictions.csv"

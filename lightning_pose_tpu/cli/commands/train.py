@@ -15,7 +15,12 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
     p = subparsers.add_parser(
         NAME, description="Train a pose estimation model from a config file."
     )
-    p.add_argument("config_file", type=Path, help="path to a config yaml file")
+    from lightning_pose_tpu.cli import types as cli_types
+
+    p.add_argument(
+        "config_file", type=cli_types.config_file,
+        help="path to a config yaml file",
+    )
     p.add_argument(
         "--output_dir",
         type=Path,

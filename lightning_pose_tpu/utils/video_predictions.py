@@ -34,6 +34,7 @@ def predict_video(
     generate_labeled_video: bool = False,
     compute_metrics: bool = True,
     bbox_df=None,
+    progress_file=None,
 ) -> "np.ndarray":
     """Run inference on one video; write ``video_preds/<stem>.csv`` (+
     optional labeled mp4 + metric side CSVs).
@@ -84,6 +85,14 @@ def predict_video(
         )
         return bbox_rows[idx]
 
+    progress = None
+    if progress_file is not None:
+        from lightning_pose_tpu.callbacks import JSONInferenceProgressTracker
+
+        progress = JSONInferenceProgressTracker(
+            progress_file, total_batches=len(loader)
+        )
+
     t0 = time.time()
     # dispatch all batches asynchronously (device work overlaps host
     # decode), then fetch results at the end — one pipeline, no per-batch
@@ -92,6 +101,8 @@ def predict_video(
     for i, batch in enumerate(loader):
         kp, conf = predict_fn(state, batch, batch_bbox(i))
         device_preds.append((kp, conf))
+        if progress is not None:  # per-batch App progress (dispatch-time)
+            progress.step()
     preds = [(np.asarray(kp), np.asarray(conf)) for kp, conf in device_preds]
     elapsed = time.time() - t0
     fps = loader.frame_count / max(elapsed, 1e-9)

@@ -7,21 +7,26 @@ import pytest
 from lightning_pose_tpu.cli.main import build_parser, main
 
 
-def test_all_commands_registered():
+def test_all_commands_registered(tmp_path):
+    # path-type args are validated at parse time (cli/types.py), so the
+    # minimal args must exist on disk
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("a: 1")
     parser = build_parser()
     for cmd in [
         "train", "predict", "export", "create_bbox", "smooth_bbox",
         "crop", "remap", "run_app",
     ]:
-        args = parser.parse_args([cmd, *_minimal_args(cmd)])
+        args = parser.parse_args([cmd, *_minimal_args(cmd, tmp_path)])
         assert args.command == cmd
 
 
-def _minimal_args(cmd: str) -> list[str]:
+def _minimal_args(cmd: str, tmp_path) -> list[str]:
+    d = str(tmp_path)
     return {
-        "train": ["cfg.yaml"],
-        "predict": ["model_dir", "video.mp4"],
-        "export": ["model_dir"],
+        "train": [f"{d}/cfg.yaml"],
+        "predict": [d, "video.mp4"],
+        "export": [d],
         "create_bbox": ["preds.csv"],
         "smooth_bbox": ["in_dir", "out_dir"],
         "crop": ["video.mp4", "bbox.csv"],
@@ -176,7 +181,8 @@ dali:
     ]) == 0
     assert (out_dir / "video_preds" / "test_vid.csv").exists()
     payload = json.loads(progress.read_text())
-    assert payload["completed"] == payload["total"] == 1
+    # per-batch granularity: 994 frames at seq_len 128 -> 8 batches
+    assert payload["completed"] == payload["total"] == 8
 
     # CSV inputs are rejected on the exported runtime (fixed batch shapes)
     with pytest.raises(ValueError, match="video inputs only"):
@@ -184,3 +190,24 @@ dali:
             "predict", str(out_dir), f"{toy_data_dir}/CollectedData.csv",
             "--runtime", "exported",
         ])
+
+
+def test_cli_type_validators(tmp_path):
+    """Path-type validators fail fast with readable errors
+    (reference cli/types.py:7-56)."""
+    import argparse
+
+    from lightning_pose_tpu.cli import types as cli_types
+
+    yaml_file = tmp_path / "c.yaml"
+    yaml_file.write_text("a: 1")
+    assert cli_types.config_file(str(yaml_file)) == yaml_file
+    with pytest.raises(argparse.ArgumentTypeError, match="File not found"):
+        cli_types.config_file(str(tmp_path / "missing.yaml"))
+    (tmp_path / "c.txt").write_text("x")
+    with pytest.raises(argparse.ArgumentTypeError, match="must be a yaml"):
+        cli_types.config_file(str(tmp_path / "c.txt"))
+
+    assert cli_types.existing_model_dir(str(tmp_path)) == tmp_path
+    with pytest.raises(argparse.ArgumentTypeError, match="does not exist"):
+        cli_types.existing_model_dir(str(tmp_path / "missing"))
