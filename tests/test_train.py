@@ -93,6 +93,22 @@ def test_train_artifact_contract(cfg, tmp_path):
         np.asarray(conf_exp), np.asarray(conf_live), atol=1e-4
     )
 
+    # precision invariance: bf16 inference stays within a couple px of
+    # fp32 on real frames (the reference's reduced-precision deviation
+    # check, mixed_precision.rst:170-173 — <0.01 px for fp16 on A100;
+    # bf16 has 3 fewer mantissa bits, so the bound here is looser)
+    import cv2
+    from pathlib import Path
+
+    frame_path = sorted(
+        (Path(c.data.data_dir) / "labeled-data").glob("*.png")
+    )[0]
+    frame = cv2.cvtColor(cv2.imread(str(frame_path)), cv2.COLOR_BGR2RGB)
+    m32 = Model.from_dir(tmp_path, precision="fp32")
+    kp_bf = m.predict_frame(frame)["keypoints"]
+    kp_32 = m32.predict_frame(frame)["keypoints"]
+    assert np.abs(kp_bf - kp_32).max() < 3.0  # px at original resolution
+
 
 @pytest.mark.slow
 @pytest.mark.multichip
