@@ -1,0 +1,332 @@
+"""High-level ``Model`` API tests (reference tests/api/test_model.py:1-983).
+
+The reference tests download pretrained model dirs from a GitHub release;
+here (no egress) a loadable model directory is synthesized from a
+random-init checkpoint, which exercises the identical ``from_dir`` ->
+ckpt-discovery -> predict paths.
+"""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _make_model_dir(tmp: Path, cfg, model_type="heatmap", backbone="resnet18"):
+    """Build config.yaml + tb_logs ckpt layout the way train() would
+    (mirrors bench.py's synthetic model dir)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+
+    c = cfg.copy()
+    c.model.model_type = model_type
+    c.model.backbone = backbone
+    c.model.model_name = "apitest"
+
+    module, meta = get_model(c)
+    h = int(c.data.image_resize_dims.height)
+    w = int(c.data.image_resize_dims.width)
+    if model_type == "heatmap_mhcrnn":
+        dummy = jnp.zeros((1, 5, h, w, 3), dtype=jnp.float32)
+    else:
+        dummy = jnp.zeros((1, h, w, 3), dtype=jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), dummy, train=False)
+
+    model_dir = tmp / f"model_{model_type}"
+    version_dir = Path(
+        ckpt_utils.next_version_dir(str(model_dir), c.model.model_name)
+    )
+    ckpt_dir = ckpt_utils.checkpoint_dir(str(version_dir))
+    ckpt_utils.save_checkpoint(
+        str(Path(ckpt_dir) / "epoch=1-step=10-best.ckpt"),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=10,
+        epoch=1,
+    )
+    ckpt_utils.wait_for_saves()
+    c.save(str(model_dir / "config.yaml"))
+    return model_dir
+
+
+@pytest.fixture(scope="module")
+def model_dir(cfg, tmp_path_factory):
+    return _make_model_dir(tmp_path_factory.mktemp("api"), cfg)
+
+
+@pytest.fixture(scope="module")
+def model(model_dir):
+    from lightning_pose_tpu.api.model import Model
+
+    return Model.from_dir(model_dir)
+
+
+# -- constructors / discovery ------------------------------------------------
+
+
+def test_from_dir_missing_config_raises(tmp_path):
+    from lightning_pose_tpu.api.model import Model
+
+    with pytest.raises(FileNotFoundError):
+        Model.from_dir(tmp_path)
+
+
+def test_from_dir2_applies_overrides(model_dir):
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir2(
+        model_dir, hydra_overrides=["training.train_batch_size=7"]
+    )
+    assert int(m.cfg.training.train_batch_size) == 7
+
+
+def test_ckpt_path_discovery(model):
+    # tb_logs/<name>/version_0/checkpoints/epoch=1-step=10-best.ckpt
+    assert model.ckpt_path is not None
+    assert model.ckpt_path.endswith("epoch=1-step=10-best.ckpt")
+
+
+def test_output_dir_conventions(model, model_dir):
+    # reference model.py:706-728 directory contract
+    assert model.image_preds_dir() == Path(model_dir) / "image_preds"
+    assert model.video_preds_dir() == Path(model_dir) / "video_preds"
+    assert (
+        model.labeled_videos_dir()
+        == Path(model_dir) / "video_preds" / "labeled_videos"
+    )
+
+
+def test_missing_checkpoint_raises(cfg, tmp_path):
+    from lightning_pose_tpu.api.model import Model
+
+    c = cfg.copy()
+    c.model.model_name = "nockpt"
+    no_ckpt_dir = tmp_path / "model"
+    no_ckpt_dir.mkdir()
+    c.save(str(no_ckpt_dir / "config.yaml"))
+    m = Model.from_dir(no_ckpt_dir)
+    with pytest.raises(FileNotFoundError):
+        m.predict_frame(np.zeros((32, 32, 3), dtype=np.uint8))
+
+
+def test_invalid_precision_raises(model_dir):
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(model_dir, precision="int8")
+    with pytest.raises(ValueError, match="precision"):
+        m.predict_frame(np.zeros((32, 32, 3), dtype=np.uint8))
+
+
+# -- predict_frame -----------------------------------------------------------
+
+
+def test_predict_frame_shapes_and_dtypes(model, cfg):
+    frame = np.random.default_rng(0).integers(
+        0, 255, size=(406, 396, 3), dtype=np.uint8
+    )
+    out = model.predict_frame(frame)
+    k = int(cfg.data.num_keypoints)
+    assert out["keypoints"].shape == (k, 2)
+    assert out["confidence"].shape == (k,)
+    assert out["keypoints"].dtype == np.float32
+    assert out["confidence"].dtype == np.float32
+    # keypoints live in original-frame pixel coords
+    kp = out["keypoints"]
+    assert np.all(kp[:, 0] >= -1) and np.all(kp[:, 0] <= 396 + 1)
+    assert np.all(kp[:, 1] >= -1) and np.all(kp[:, 1] <= 406 + 1)
+
+
+def test_predict_frame_bbox_remap(model):
+    frame = np.random.default_rng(1).integers(
+        0, 255, size=(406, 396, 3), dtype=np.uint8
+    )
+    bbox = (100, 50, 128, 160)  # x, y, w, h
+    out = model.predict_frame(frame, bbox=bbox)
+    kp = out["keypoints"]
+    # all keypoints must land inside the crop region in frame coords
+    assert np.all(kp[:, 0] >= bbox[0] - 1)
+    assert np.all(kp[:, 0] <= bbox[0] + bbox[2] + 1)
+    assert np.all(kp[:, 1] >= bbox[1] - 1)
+    assert np.all(kp[:, 1] <= bbox[1] + bbox[3] + 1)
+
+
+def test_predict_frame_input_validation(model):
+    with pytest.raises(ValueError, match="uint8"):
+        model.predict_frame(np.zeros((32, 32, 3), dtype=np.float32))
+    with pytest.raises(ValueError, match="shape"):
+        model.predict_frame(np.zeros((32, 32), dtype=np.uint8))
+    with pytest.raises(ValueError, match="bbox"):
+        model.predict_frame(
+            np.zeros((64, 64, 3), dtype=np.uint8), bbox=(-1, 0, 10, 10)
+        )
+    with pytest.raises(ValueError, match="bbox"):
+        model.predict_frame(
+            np.zeros((64, 64, 3), dtype=np.uint8), bbox=(0, 0, 0, 10)
+        )
+
+
+def test_predict_frame_context_model_requires_stack(cfg, tmp_path):
+    from lightning_pose_tpu.api.model import Model
+
+    mdir = _make_model_dir(tmp_path, cfg, model_type="heatmap_mhcrnn")
+    m = Model.from_dir(mdir)
+    with pytest.raises(ValueError, match="T, H, W, 3"):
+        m.predict_frame(np.zeros((64, 64, 3), dtype=np.uint8))
+    out = m.predict_frame(
+        np.random.default_rng(2).integers(
+            0, 255, size=(5, 406, 396, 3), dtype=np.uint8
+        )
+    )
+    assert out["keypoints"].shape == (int(cfg.data.num_keypoints), 2)
+
+
+def test_predict_frame_fp32_bf16_agree_loosely(model_dir):
+    """bf16 and fp32 runtimes decode to nearby keypoints on the same
+    random-init model (precision plumbing sanity)."""
+    from lightning_pose_tpu.api.model import Model
+
+    frame = np.random.default_rng(3).integers(
+        0, 255, size=(256, 256, 3), dtype=np.uint8
+    )
+    kp32 = Model.from_dir(model_dir, precision="fp32").predict_frame(frame)
+    kp16 = Model.from_dir(model_dir, precision="bf16").predict_frame(frame)
+    assert kp32["keypoints"].shape == kp16["keypoints"].shape
+    # random-init heatmaps are near-flat so argmax sites can differ; demand
+    # agreement only on average location scale, not per-point identity
+    assert (
+        np.nanmedian(
+            np.abs(kp32["keypoints"] - kp16["keypoints"])
+        )
+        < 256
+    )
+
+
+# -- predict_on_label_csv ----------------------------------------------------
+
+
+def test_predict_on_label_csv_artifact_contract(model, cfg, toy_data_dir):
+    import pandas as pd
+
+    df = model.predict_on_label_csv(
+        Path(toy_data_dir) / "CollectedData.csv", compute_metrics=True
+    )
+    labels = pd.read_csv(
+        Path(toy_data_dir) / "CollectedData.csv", header=[0, 1, 2], index_col=0
+    )
+    assert len(df) == len(labels)
+
+    out_dir = model.image_preds_dir() / "CollectedData.csv"
+    preds_file = out_dir / "predictions.csv"
+    assert preds_file.exists()
+    # DLC 3-level header round-trips
+    reread = pd.read_csv(preds_file, header=[0, 1, 2], index_col=0)
+    assert len(reread) == len(labels)
+    assert "likelihood" in reread.columns.get_level_values("coords")
+    # pixel-error side CSV (labeled input -> pixel_error metric,
+    # reference metrics.py:187-240)
+    assert (out_dir / "predictions_pixel_error.csv").exists()
+
+
+def test_predict_on_label_csv_custom_output_dir(model, toy_data_dir, tmp_path):
+    out = tmp_path / "custom_preds"
+    model.predict_on_label_csv(
+        Path(toy_data_dir) / "CollectedData.csv",
+        compute_metrics=False,
+        output_dir=out,
+    )
+    assert (out / "predictions.csv").exists()
+
+
+def test_predict_on_label_csv_multiview_guard(cfg, mv_data_dir, tmp_path):
+    """Single-view CSV prediction on a multiview model raises with guidance
+    (multiview dispatch contract, reference model.py:1022-1027)."""
+    from lightning_pose_tpu.api.model import Model
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = [
+        "paw1LH", "paw2LF", "paw3RF", "paw4RH", "tailBase", "tailMid", "nose",
+    ]
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.model.model_name = "mvguard"
+    mdir = tmp_path / "mv_model"
+    mdir.mkdir()
+    c.save(str(mdir / "config.yaml"))
+    m = Model.from_dir(mdir)
+    with pytest.raises(ValueError, match="multiview"):
+        m.predict_on_label_csv("top.csv")
+
+
+# -- export / exported runtime ----------------------------------------------
+
+
+def test_export_and_load_roundtrip(model, cfg, tmp_path):
+    """jax.export serialization round-trips and reproduces the eager
+    program's outputs exactly (the ONNX/ORT analog, reference
+    model.py:615-704)."""
+    from lightning_pose_tpu.api.model import Model
+
+    path = model.export(output_dir=tmp_path / "exports")
+    assert Path(path).exists()
+    assert Path(path).suffix == ".jax_export"
+
+    fn = Model.load_exported(path)
+    seq_len = int(cfg.dali.base.predict.sequence_length)
+    h = int(cfg.data.image_resize_dims.height)
+    w = int(cfg.data.image_resize_dims.width)
+    images = np.random.default_rng(4).integers(
+        0, 255, size=(seq_len, h, w, 3), dtype=np.uint8
+    )
+    bbox = np.tile(
+        np.array([0.0, 0.0, 406.0, 396.0], dtype=np.float32), (seq_len, 1)
+    )
+    kp_exp, conf_exp = fn(images, bbox)
+    model._load()
+    kp_eager, conf_eager = model._predict_fn(model._state, images, bbox)
+    np.testing.assert_allclose(
+        np.asarray(kp_exp), np.asarray(kp_eager), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(conf_exp), np.asarray(conf_eager), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_use_exported_runtime_shape_guard(model_dir, cfg, tmp_path):
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(model_dir)
+    export_dir = Path(model_dir) / "exports_xla"
+    if export_dir.exists():
+        shutil.rmtree(export_dir)
+    m.export()  # default location
+    m.use_exported_runtime()
+    # wrong batch shape -> helpful error, not a crash
+    with pytest.raises(ValueError, match="exported program expects"):
+        m._predict_fn(
+            m._state,
+            np.zeros((3, 128, 128, 3), dtype=np.uint8),
+            np.zeros((3, 4), dtype=np.float32),
+        )
+
+
+def test_use_exported_runtime_missing_export_raises(cfg, tmp_path):
+    from lightning_pose_tpu.api.model import Model
+
+    mdir = _make_model_dir(tmp_path, cfg)
+    m = Model.from_dir(mdir)
+    with pytest.raises(FileNotFoundError, match="jax_export"):
+        m.use_exported_runtime()
+
+
+def test_compile_triggers_jit(model):
+    # smoke: compile() must run the canonical video-shape program
+    model.compile()
+    assert model._predict_fn is not None

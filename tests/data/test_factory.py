@@ -1,0 +1,113 @@
+"""Dataset / data-module factory dispatch tests
+(reference tests/data/test_factory.py:1-383)."""
+
+import pytest
+
+from lightning_pose_tpu.data.datamodules import BaseDataModule
+from lightning_pose_tpu.data.datasets import BaseTrackingDataset, HeatmapDataset
+from lightning_pose_tpu.data.factory import (
+    get_data_module,
+    get_dataset,
+    get_imgaug_pipeline,
+)
+
+
+def test_imgaug_pipeline_presets(cfg):
+    c = cfg.copy()
+    for preset in ["default", "none", "dlc", "dlc-lr", "dlc-top-down", "dlc-mv"]:
+        c.training.imgaug = preset
+        assert get_imgaug_pipeline(c) == preset
+
+
+def test_imgaug_pipeline_invalid_preset_raises(cfg):
+    c = cfg.copy()
+    c.training.imgaug = "not-a-preset"
+    with pytest.raises(NotImplementedError, match="not-a-preset"):
+        get_imgaug_pipeline(c)
+
+
+def test_imgaug_pipeline_dict_passthrough(cfg):
+    c = cfg.copy()
+    c.training.imgaug = {"Affine": {"p": 0.5, "kwargs": {"rotate": [-10, 10]}}}
+    spec = get_imgaug_pipeline(c)
+    assert isinstance(spec, dict)
+    assert "Affine" in spec
+
+
+def test_get_dataset_dispatch_regression(cfg, toy_data_dir):
+    c = cfg.copy()
+    c.model.model_type = "regression"
+    ds = get_dataset(c, toy_data_dir)
+    assert type(ds) is BaseTrackingDataset
+    assert not ds.do_context
+
+
+def test_get_dataset_dispatch_heatmap(cfg, toy_data_dir):
+    ds = get_dataset(cfg, toy_data_dir)
+    assert isinstance(ds, HeatmapDataset)
+    assert not ds.do_context
+    # downsample_factor=2: heatmap dims = resize / 4
+    assert ds.output_shape == (
+        cfg.data.image_resize_dims.height // 4,
+        cfg.data.image_resize_dims.width // 4,
+    )
+
+
+def test_get_dataset_dispatch_mhcrnn_context(cfg, toy_data_dir):
+    c = cfg.copy()
+    c.model.model_type = "heatmap_mhcrnn"
+    ds = get_dataset(c, toy_data_dir)
+    assert isinstance(ds, HeatmapDataset)
+    assert ds.do_context
+
+
+def test_get_dataset_dispatch_multiview(cfg, mv_data_dir):
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    c = cfg.copy()
+    c.model.model_type = "heatmap_multiview"
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = [
+        "paw1LH", "paw2LF", "paw3RF", "paw4RH", "tailBase", "tailMid", "nose",
+    ]
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    ds = get_dataset(c, mv_data_dir)
+    assert isinstance(ds, MultiviewHeatmapDataset)
+
+
+def test_get_dataset_invalid_type_raises(cfg, toy_data_dir):
+    c = cfg.copy()
+    c.model.model_type = "not_a_model"
+    with pytest.raises((NotImplementedError, ValueError)):
+        get_dataset(c, toy_data_dir)
+
+
+def test_get_data_module_supervised(cfg, toy_data_dir):
+    ds = get_dataset(cfg, toy_data_dir)
+    dm = get_data_module(cfg, ds)
+    assert type(dm) is BaseDataModule
+    assert dm.train_batch_size == cfg.training.train_batch_size
+
+
+def test_get_data_module_semisupervised(cfg, toy_data_dir):
+    from lightning_pose_tpu.data.unlabeled import UnlabeledDataModule
+
+    c = cfg.copy()
+    c.model.losses_to_use = ["temporal"]
+    ds = get_dataset(c, toy_data_dir)
+    dm = get_data_module(c, ds, video_dir=c.data.video_dir)
+    assert isinstance(dm, UnlabeledDataModule)
+
+
+def test_get_data_module_empty_losses_is_supervised(cfg, toy_data_dir):
+    """losses_to_use=[] means fully supervised (reference
+    models/factory.py check_if_semi_supervised semantics)."""
+    c = cfg.copy()
+    c.model.losses_to_use = []
+    ds = get_dataset(c, toy_data_dir)
+    dm = get_data_module(c, ds)
+    assert type(dm) is BaseDataModule
