@@ -30,9 +30,15 @@ def fit_similarity_transform(src: jax.Array, dst: jax.Array) -> jax.Array:
     """Least-squares similarity transform (scale*R + t) mapping src -> dst.
 
     NaN pairs are excluded. Args: (K, 2) each. Returns forward 3x3 matrix.
+
+    Degenerate fits fall back to the identity: fewer than 2 valid pairs, or
+    all valid points coincident (the reference's
+    cv2.estimateAffinePartial2D likewise fails there and the sample is
+    left unaugmented, reference datasets.py:855-980).
     """
     valid = ~(jnp.isnan(src).any(axis=1) | jnp.isnan(dst).any(axis=1))
-    wsum = jnp.maximum(jnp.sum(valid), 1.0)
+    n_valid = jnp.sum(valid)
+    wsum = jnp.maximum(n_valid, 1.0)
     w = valid.astype(jnp.float32)[:, None]
     src0 = jnp.nan_to_num(src, nan=0.0)
     dst0 = jnp.nan_to_num(dst, nan=0.0)
@@ -41,12 +47,13 @@ def fit_similarity_transform(src: jax.Array, dst: jax.Array) -> jax.Array:
     sc = (src0 - mu_s) * w
     dc = (dst0 - mu_d) * w
     # similarity params (a, b): [[a, -b], [b, a]]
-    denom = jnp.sum(sc**2) + 1e-8
+    spread = jnp.sum(sc**2)
+    denom = spread + 1e-8
     a = jnp.sum(sc * dc) / denom
     b = jnp.sum(sc[:, 0] * dc[:, 1] - sc[:, 1] * dc[:, 0]) / denom
     rot = jnp.array([[a, -b], [b, a]], dtype=jnp.float32)
     t = mu_d - rot @ mu_s
-    return jnp.array(
+    m = jnp.array(
         [
             [rot[0, 0], rot[0, 1], t[0]],
             [rot[1, 0], rot[1, 1], t[1]],
@@ -54,6 +61,8 @@ def fit_similarity_transform(src: jax.Array, dst: jax.Array) -> jax.Array:
         ],
         dtype=jnp.float32,
     )
+    degenerate = (n_valid < 2) | (spread < 1e-6)
+    return jnp.where(degenerate, jnp.eye(3, dtype=jnp.float32), m)
 
 
 def apply_3d_transforms(
@@ -101,6 +110,11 @@ def apply_3d_transforms(
         kp_views, intrinsics, extrinsics, distortions
     )
     pts3d = jnp.nanmedian(pts3d_pairs, axis=1)  # (B, K, 3)
+
+    # fewer than 3 valid triangulated keypoints -> skip augmentation for
+    # that sample (reference datasets.py:1017-1030)
+    valid_3d = jnp.sum(~jnp.isnan(pts3d).any(axis=-1), axis=1)  # (B,)
+    apply = apply & (valid_3d >= 3)
 
     # perturb: global scale about the centroid + translation scaled to the
     # scene extent (reference datasets.py:825-980)

@@ -81,6 +81,15 @@ def initialize_distributed(
         f"jax.distributed up: process {jax.process_index()}/"
         f"{jax.process_count()}, {jax.device_count()} global device(s)"
     )
+    # establish the cross-process collective context NOW, while processes
+    # are still aligned from startup: gloo's KV-store bring-up window is
+    # ~30s, and the host work between here and the first training
+    # collective (dataset load, PCA fits, model-init compile) can skew
+    # processes past it on loaded machines
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("lp_tpu_distributed_init")
 
 
 def make_mesh(num_devices: int | None = None) -> Mesh:

@@ -165,3 +165,86 @@ def test_camera_group(rng):
     np.testing.assert_allclose(out[0], pts3d, atol=1e-2)
     proj = np.asarray(group.project(pts3d[None]))
     np.testing.assert_allclose(proj[0, 0], pts2d[0], atol=1e-2)
+
+
+def test_apply_3d_transforms_all_nan_keypoints_noop(rng):
+    """All-NaN samples must pass through unaugmented with finite images
+    (reference datasets.py:1000-1010 skips augmentation entirely)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    images = rng.uniform(0, 255, size=(1, 2, 32, 32, 3)).astype(np.float32)
+    kp = np.full((1, 8, 2), np.nan, dtype=np.float32)
+    out_img, out_kp = apply_3d_transforms(
+        jax.random.PRNGKey(0),
+        jnp.asarray(images),
+        jnp.asarray(kp),
+        jnp.asarray(intr[None]),
+        jnp.asarray(extr[None]),
+        jnp.asarray(dist[None]),
+        apply_prob=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(out_img), images)
+    assert np.isnan(np.asarray(out_kp)).all()
+
+
+def test_apply_3d_transforms_insufficient_keypoints_skips(rng):
+    """<3 valid triangulated keypoints -> sample left unaugmented
+    (reference datasets.py:1017-1030)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 10, 2).astype(np.float32)
+    # only 2 keypoints labeled in both views -> 2 valid triangulations
+    kp_frame[:, 2:5] = np.nan   # view 0 keypoints 2-4
+    kp_frame[:, 7:10] = np.nan  # view 1 keypoints 2-4
+    images = rng.uniform(0, 255, size=(1, 2, 32, 32, 3)).astype(np.float32)
+    out_img, out_kp = apply_3d_transforms(
+        jax.random.PRNGKey(3),
+        jnp.asarray(images),
+        jnp.asarray(kp_frame),
+        jnp.asarray(intr[None]),
+        jnp.asarray(extr[None]),
+        jnp.asarray(dist[None]),
+        scale_range=(1.3, 1.3),
+        apply_prob=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(out_img), images)
+    # unaugmented keypoints come back (in model coords == frame coords here
+    # since frame_to_model is identity), NaNs preserved
+    out = np.asarray(out_kp)
+    np.testing.assert_allclose(out[0, :2], kp_frame[0, :2], atol=1e-3)
+    assert np.isnan(out[0, 2:5]).all()
+
+
+def test_fit_similarity_transform_degenerate_is_identity():
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import fit_similarity_transform
+
+    eye = np.eye(3, dtype=np.float32)
+    # all-NaN
+    m = np.asarray(
+        fit_similarity_transform(
+            jnp.full((4, 2), jnp.nan), jnp.full((4, 2), jnp.nan)
+        )
+    )
+    np.testing.assert_allclose(m, eye)
+    # one valid pair
+    src = jnp.array([[1.0, 2.0], [jnp.nan, jnp.nan]])
+    dst = jnp.array([[3.0, 4.0], [jnp.nan, jnp.nan]])
+    np.testing.assert_allclose(np.asarray(fit_similarity_transform(src, dst)), eye)
+    # coincident points (zero spread)
+    src2 = jnp.ones((4, 2))
+    dst2 = jnp.ones((4, 2)) * 2
+    np.testing.assert_allclose(
+        np.asarray(fit_similarity_transform(src2, dst2)), eye
+    )

@@ -146,3 +146,30 @@ def test_extractor(dataset):
     assert images is None
     with pytest.raises(ValueError):
         DataExtractor(dm, cond="bogus")
+
+
+def test_unlabeled_data_module_pairs_batches(cfg, toy_data_dir_module):
+    """Each training batch carries an 'unlabeled' frames dict — the
+    max_size_cycle pairing of labeled + video batches (reference
+    datamodules.py:240-341)."""
+    from lightning_pose_tpu.data.factory import get_data_module, get_dataset
+    from lightning_pose_tpu.data.unlabeled import UnlabeledDataModule
+
+    c = cfg.copy()
+    c.model.losses_to_use = ["temporal"]
+    c.dali.base.train.sequence_length = 4
+    ds = get_dataset(c, toy_data_dir_module, imgaug_pipeline="default")
+    dm = get_data_module(c, ds, video_dir=c.data.video_dir)
+    assert isinstance(dm, UnlabeledDataModule)
+    try:
+        n = 0
+        for batch in dm.train_batches(epoch=0, steps=3):
+            assert "unlabeled" in batch
+            frames = batch["unlabeled"]["frames"]
+            assert frames.shape == (4, 128, 128, 3)
+            assert frames.dtype.name == "uint8"
+            assert batch["images"].shape[0] == c.training.train_batch_size
+            n += 1
+        assert n == 3
+    finally:
+        dm.close()

@@ -187,3 +187,78 @@ def test_multiview_mismatched_frames_raises(cfg, mv_data_dir, tmp_path):
     c.data.columns_for_singleview_pca = None
     with pytest.raises((ValueError, RuntimeError, AssertionError)):
         MultiviewHeatmapDataset(cfg=c, data_dir=str(short_dir))
+
+
+# -- hflip swap indices (reference datasets.py:175-232) ------------------------
+
+
+def test_hflip_swap_indices_pairs():
+    from lightning_pose_tpu.data.datasets import build_hflip_swap_indices
+
+    names = ["nose", "ear_left", "ear_right", "tail", "paw_left", "paw_right"]
+    idx = build_hflip_swap_indices(names)
+    assert idx.tolist() == [0, 2, 1, 3, 5, 4]
+
+
+def test_hflip_swap_indices_no_pairs_is_identity():
+    from lightning_pose_tpu.data.datasets import build_hflip_swap_indices
+
+    idx = build_hflip_swap_indices(["nose", "tail", "spine"])
+    assert idx.tolist() == [0, 1, 2]
+
+
+def test_hflip_swap_indices_unmatched_raises():
+    from lightning_pose_tpu.data.datasets import build_hflip_swap_indices
+
+    with pytest.raises(ValueError, match="no _right partner"):
+        build_hflip_swap_indices(["ear_left", "nose"])
+    with pytest.raises(ValueError, match="no _left partner"):
+        build_hflip_swap_indices(["ear_right", "nose"])
+
+
+# -- keypoint resize / bbox semantics -----------------------------------------
+
+
+def test_keypoints_resized_scaling(visibility_data_dir):
+    """Keypoints scale by (resize / original) per axis; original images here
+    are 40x30 (h x w)."""
+    ds = HeatmapDataset(
+        root_directory=str(visibility_data_dir), csv_path="labels.csv",
+        image_resize_height=256, image_resize_width=128,
+    )
+    kp = ds.keypoints_resized(0)
+    # CSV kp1 = (24, 24) in a 30-wide, 40-tall image
+    np.testing.assert_allclose(kp[0, 0], 24.0 * 128 / 30, rtol=1e-6)
+    np.testing.assert_allclose(kp[0, 1], 24.0 * 256 / 40, rtol=1e-6)
+
+
+def test_uniform_heatmaps_for_nan_flag(visibility_data_dir):
+    """Without a visible column: NaN labels -> vis 0 normally, vis 1
+    (uniform target) when uniform_heatmaps_for_nan_keypoints is set
+    (reference HeatmapDataset semantics)."""
+    (visibility_data_dir / "nans.csv").write_text(
+        "scorer,s,s,s,s\n"
+        "bodyparts,kp1,kp1,kp2,kp2\n"
+        "coords,x,y,x,y\n"
+        "img01.png,24.0,24.0,,\n"
+    )
+    ds0 = HeatmapDataset(
+        root_directory=str(visibility_data_dir), csv_path="nans.csv",
+        image_resize_height=128, image_resize_width=128,
+    )
+    assert list(ds0[0]["visibility"]) == [2, 0]
+    ds1 = HeatmapDataset(
+        root_directory=str(visibility_data_dir), csv_path="nans.csv",
+        image_resize_height=128, image_resize_width=128,
+        uniform_heatmaps_for_nan_keypoints=True,
+    )
+    assert list(ds1[0]["visibility"]) == [2, 1]
+
+
+def test_sample_bbox_defaults_to_full_frame(visibility_data_dir):
+    ds = HeatmapDataset(
+        root_directory=str(visibility_data_dir), csv_path="labels.csv",
+        image_resize_height=128, image_resize_width=128,
+    )
+    # original image is 40 tall x 30 wide -> bbox [x, y, h, w]
+    np.testing.assert_allclose(ds[0]["bbox"], [0.0, 0.0, 40.0, 30.0])

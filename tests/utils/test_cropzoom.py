@@ -1,0 +1,280 @@
+"""Cropzoom pipeline unit tests (reference tests/utils/test_cropzoom.py).
+
+The reference's tests run on downloaded fixture data; here the detector
+predictions / bboxes / frames are synthesized, which exercises the same
+bbox math, smoothing, cropping, and CSV-remap contracts hermetically.
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lightning_pose_tpu.utils import cropzoom as cz
+
+
+def _pred_df(n_frames=6, keypoints=("nose", "tail"), seed=0):
+    rng = np.random.default_rng(seed)
+    cols = pd.MultiIndex.from_tuples(
+        [(kp, c) for kp in keypoints for c in ("x", "y", "likelihood")],
+        names=["bodyparts", "coords"],
+    )
+    cols = pd.MultiIndex.from_tuples(
+        [("scorer", a, b) for a, b in cols],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    data = np.zeros((n_frames, len(cols)))
+    for j, (_, _, c) in enumerate(cols):
+        if c == "likelihood":
+            data[:, j] = 0.99
+        else:
+            data[:, j] = rng.uniform(50, 150, n_frames)
+    idx = [f"labeled-data/sess/img{i:03d}.png" for i in range(n_frames)]
+    return pd.DataFrame(data, index=pd.Index(idx), columns=cols)
+
+
+# -- bbox size / bbox dataframe ---------------------------------------------
+
+
+def test_calculate_bbox_size_span_times_ratio_even():
+    kps = np.array([[[0.0, 0.0], [10.0, 21.0]]])  # span x=10, y=21
+    size = cz._calculate_bbox_size(kps, crop_ratio=1.0)
+    # max span 21 -> ceil 21 -> rounded up to even 22, square
+    assert size.tolist() == [[22, 22]]
+    size2 = cz._calculate_bbox_size(kps, crop_ratio=2.0)
+    assert size2.tolist() == [[42, 42]]
+
+
+def test_calculate_bbox_size_ignores_nan():
+    kps = np.array([[[0.0, 0.0], [10.0, 10.0], [np.nan, np.nan]]])
+    size = cz._calculate_bbox_size(kps, crop_ratio=1.0)
+    assert size.tolist() == [[10, 10]]
+
+
+def test_compute_bbox_df_centroid_and_size():
+    df = _pred_df(n_frames=3)
+    bbox = cz._compute_bbox_df(df, anchor_keypoints=[], crop_ratio=1.5)
+    assert list(bbox.columns) == ["x", "y", "h", "w"]
+    assert (bbox.index == df.index).all()
+    # even dims everywhere
+    assert (bbox["h"] % 2 == 0).all() and (bbox["w"] % 2 == 0).all()
+    # square
+    assert (bbox["h"] == bbox["w"]).all()
+    # topleft = centroid - size//2
+    xs = df.loc[:, df.columns.get_level_values("coords") == "x"].to_numpy()
+    ys = df.loc[:, df.columns.get_level_values("coords") == "y"].to_numpy()
+    centroid_x = xs.mean(axis=1)
+    centroid_y = ys.mean(axis=1)
+    np.testing.assert_array_equal(
+        bbox["x"].to_numpy(),
+        np.int64(centroid_x - bbox["w"].to_numpy() // 2),
+    )
+    np.testing.assert_array_equal(
+        bbox["y"].to_numpy(),
+        np.int64(centroid_y - bbox["h"].to_numpy() // 2),
+    )
+
+
+def test_compute_bbox_df_anchor_subset():
+    df = _pred_df(keypoints=("nose", "tail", "paw"))
+    all_kp = cz._compute_bbox_df(df, anchor_keypoints=[], crop_ratio=1.0)
+    nose_only = cz._compute_bbox_df(df, anchor_keypoints=["nose"], crop_ratio=1.0)
+    # single anchor keypoint -> zero span -> zero-size bbox centered on it
+    assert (nose_only["h"] == 0).all()
+    assert not (all_kp["h"] == 0).all()
+
+
+def test_compute_bbox_df_invalid_anchor_raises():
+    df = _pred_df()
+    with pytest.raises(AssertionError, match="not found"):
+        cz._compute_bbox_df(df, anchor_keypoints=["unicorn"], crop_ratio=1.0)
+
+
+def test_compute_bbox_df_fixed_size_evens_odd_dims():
+    df = _pred_df()
+    bbox = cz._compute_bbox_df(
+        df, anchor_keypoints=[], crop_height=101, crop_width=64
+    )
+    assert (bbox["h"] == 102).all()
+    assert (bbox["w"] == 64).all()
+
+
+def test_compute_bbox_df_arg_validation():
+    df = _pred_df()
+    with pytest.raises(ValueError, match="not both"):
+        cz._compute_bbox_df(
+            df, anchor_keypoints=[], crop_ratio=1.0, crop_height=64, crop_width=64
+        )
+    with pytest.raises(ValueError, match="must be provided"):
+        cz._compute_bbox_df(df, anchor_keypoints=[])
+
+
+# -- smoothing ---------------------------------------------------------------
+
+
+def test_smooth_bbox_rolling_median(tmp_path):
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    bbox = pd.DataFrame(
+        {"x": [0, 100, 0, 0, 0], "y": [5, 5, 5, 5, 5],
+         "h": [10, 10, 10, 10, 10], "w": [10, 10, 10, 10, 10]},
+        index=pd.Index([f"f{i}" for i in range(5)]),
+    )
+    bbox.to_csv(in_dir / "sess_bbox.csv")
+    cz.smooth_bbox(in_dir, out_dir, window=3)
+    sm = pd.read_csv(out_dir / "sess_bbox.csv", index_col=0)
+    # the x=100 spike at row 1 is median-filtered away; the first row's
+    # centered window is [0, 100] -> median 50 (min_periods=1 edge handling)
+    assert (sm["x"].iloc[1:] == 0).all()
+    assert sm["x"].iloc[0] == 50
+    assert (sm["y"] == 5).all()
+    meta = json.loads((out_dir / "metadata.json").read_text())
+    assert meta["method"] == "median" and meta["window"] == 3
+
+
+def test_smooth_bbox_errors(tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .*bbox.csv"):
+        cz.smooth_bbox(empty, tmp_path / "out")
+    with pytest.raises(ValueError, match="unsupported method"):
+        cz.smooth_bbox(empty, tmp_path / "out", method="mean")
+
+
+# -- cropping ----------------------------------------------------------------
+
+
+def test_crop_frame_in_bounds():
+    frame = np.arange(20 * 20 * 3, dtype=np.uint8).reshape(20, 20, 3)
+    crop = cz._crop_frame(frame, x=4, y=2, h=6, w=8)
+    np.testing.assert_array_equal(crop, frame[2:8, 4:12])
+
+
+def test_crop_frame_zero_pads_out_of_bounds():
+    frame = np.full((10, 10, 3), 7, dtype=np.uint8)
+    crop = cz._crop_frame(frame, x=-4, y=-4, h=8, w=8)
+    assert crop.shape == (8, 8, 3)
+    assert (crop[:4, :, :] == 0).all() and (crop[:, :4, :] == 0).all()
+    assert (crop[4:, 4:, :] == 7).all()
+    # fully outside -> all zeros
+    crop2 = cz._crop_frame(frame, x=50, y=50, h=8, w=8)
+    assert (crop2 == 0).all()
+
+
+def test_crop_video_dims_and_content(tmp_path):
+    import cv2
+
+    video = tmp_path / "in.mp4"
+    writer = cv2.VideoWriter(
+        str(video), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48)
+    )
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, size=(4, 48, 64, 3), dtype=np.uint8)
+    for f in frames:
+        writer.write(f)
+    writer.release()
+
+    bbox = pd.DataFrame(
+        {"x": [10] * 4, "y": [8] * 4, "h": [16] * 4, "w": [20] * 4},
+        index=pd.Index([f"f{i}" for i in range(4)]),
+    )
+    bbox_file = tmp_path / "bbox.csv"
+    bbox.to_csv(bbox_file)
+    out = tmp_path / "out.mp4"
+    cz.crop_video(video, bbox_file, out)
+
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 20
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 16
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    assert n == 4
+
+
+def test_crop_labeled_frames_and_remap(tmp_path):
+    import cv2
+
+    data_dir = tmp_path / "data"
+    (data_dir / "labeled-data" / "sess").mkdir(parents=True)
+    rng = np.random.default_rng(6)
+    rel_paths = [f"labeled-data/sess/img{i:03d}.png" for i in range(3)]
+    for rel in rel_paths:
+        cv2.imwrite(
+            str(data_dir / rel),
+            rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8),
+        )
+
+    cols = pd.MultiIndex.from_tuples(
+        [("s", "nose", "x"), ("s", "nose", "y")],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    labels = pd.DataFrame(
+        [[30.0, 20.0], [32.0, 22.0], [28.0, 18.0]],
+        index=pd.Index(rel_paths), columns=cols,
+    )
+    csv_file = data_dir / "labels.csv"
+    labels.to_csv(csv_file)
+
+    bbox = pd.DataFrame(
+        {"x": [10, 12, 8], "y": [6, 8, 4], "h": [20, 20, 20], "w": [24, 24, 24]},
+        index=pd.Index(rel_paths),
+    )
+    bbox_file = tmp_path / "bbox.csv"
+    bbox.to_csv(bbox_file)
+
+    out_data = tmp_path / "cropped"
+    out_csv = tmp_path / "cropped_labels.csv"
+    cz.crop_labeled_frames(data_dir, csv_file, bbox_file, out_data, out_csv)
+
+    for rel in rel_paths:
+        img = cv2.imread(str(out_data / rel))
+        assert img is not None and img.shape == (20, 24, 3)
+    remapped = pd.read_csv(out_csv, header=[0, 1, 2], index_col=0)
+    np.testing.assert_allclose(
+        remapped[("s", "nose", "x")].to_numpy(),
+        labels[("s", "nose", "x")].to_numpy() - bbox["x"].to_numpy(),
+    )
+    np.testing.assert_allclose(
+        remapped[("s", "nose", "y")].to_numpy(),
+        labels[("s", "nose", "y")].to_numpy() - bbox["y"].to_numpy(),
+    )
+
+
+def test_generate_cropped_csv_roundtrip(tmp_path):
+    rel_paths = [f"labeled-data/s/img{i}.png" for i in range(4)]
+    cols = pd.MultiIndex.from_tuples(
+        [("s", "kp", "x"), ("s", "kp", "y"), ("s", "kp", "likelihood")],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    rng = np.random.default_rng(7)
+    labels = pd.DataFrame(
+        rng.uniform(0, 100, size=(4, 3)), index=pd.Index(rel_paths), columns=cols
+    )
+    bbox = pd.DataFrame(
+        {"x": [1, 2, 3, 4], "y": [5, 6, 7, 8], "h": [10] * 4, "w": [10] * 4},
+        index=pd.Index(rel_paths),
+    )
+    src = tmp_path / "labels.csv"
+    bb = tmp_path / "bbox.csv"
+    labels.to_csv(src)
+    bbox.to_csv(bb)
+
+    sub = tmp_path / "sub.csv"
+    cz.generate_cropped_csv_file(src, bb, sub, mode="subtract")
+    back = tmp_path / "back.csv"
+    cz.generate_cropped_csv_file(sub, bb, back, mode="add")
+    restored = pd.read_csv(back, header=[0, 1, 2], index_col=0)
+    np.testing.assert_allclose(restored.to_numpy(), labels.to_numpy(), atol=1e-9)
+    # likelihood untouched by the remap
+    sub_df = pd.read_csv(sub, header=[0, 1, 2], index_col=0)
+    np.testing.assert_allclose(
+        sub_df[("s", "kp", "likelihood")].to_numpy(),
+        labels[("s", "kp", "likelihood")].to_numpy(),
+    )
+
+
+def test_generate_cropped_csv_invalid_mode(tmp_path):
+    with pytest.raises(ValueError, match="not a valid mode"):
+        cz.generate_cropped_csv_file("a.csv", "b.csv", "c.csv", mode="multiply")
