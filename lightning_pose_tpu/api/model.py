@@ -206,7 +206,13 @@ class Model:
         output_dir: str | Path | None = None,
     ):
         """Predict all frames of a labeled CSV; write
-        image_preds/<csv_name>/predictions.csv (reference model.py:958)."""
+        image_preds/<csv_name>/predictions.csv (reference model.py:958).
+
+        ``add_train_val_test_set``: when True, the training splits are
+        recreated (seeded) so the output ``set`` column reflects the real
+        train/validation/test assignment; when False (default) every frame
+        is marked ``train`` (the reference's train_prob=1/val_prob=0/
+        train_frames=1 override, reference model.py:1016-1019)."""
         if self.config.is_multi_view():
             raise ValueError(
                 "this is a multiview model; use predict_on_label_csv_multiview "
@@ -218,6 +224,10 @@ class Model:
         from lightning_pose_tpu.utils.predictions import PredictionHandler
 
         cfg = self.cfg.copy()
+        if not add_train_val_test_set:
+            cfg.training.train_prob = 1
+            cfg.training.val_prob = 0
+            cfg.training.train_frames = 1
         data_dir = str(data_dir or cfg.data.data_dir)
         csv_file = str(csv_file)
 
@@ -340,13 +350,18 @@ class Model:
         **kwargs,
     ) -> dict:
         """Predict all frames of per-view labeled CSVs
-        (reference model.py:1052)."""
+        (reference model.py:1052). ``add_train_val_test_set`` as in
+        :meth:`predict_on_label_csv` (reference model.py:1102)."""
         self._load()
         from lightning_pose_tpu.data.datamodules import BaseDataModule
         from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
         from lightning_pose_tpu.utils.predictions import PredictionHandler
 
         cfg = self.cfg.copy()
+        if not add_train_val_test_set:
+            cfg.training.train_prob = 1
+            cfg.training.val_prob = 0
+            cfg.training.train_frames = 1
         data_dir = str(data_dir or cfg.data.data_dir)
         cfg.data.csv_file = [str(c) for c in csv_file_per_view]
         dataset = MultiviewHeatmapDataset(

@@ -330,3 +330,29 @@ def test_compile_triggers_jit(model):
     # smoke: compile() must run the canonical video-shape program
     model.compile()
     assert model._predict_fn is not None
+
+
+def test_predict_on_label_csv_set_column_semantics(model, toy_data_dir, tmp_path):
+    """Default: every frame marked 'train' (reference model.py:1016-1019
+    train_prob=1 override); add_train_val_test_set=True recreates the real
+    seeded splits."""
+    df_default = model.predict_on_label_csv(
+        str(Path(toy_data_dir) / "CollectedData.csv"),
+        compute_metrics=False,
+        output_dir=tmp_path / "default",
+    )
+    sets = df_default["set"].to_numpy().ravel()
+    # train_prob=1 marks everything train except the single forced
+    # validation frame (the reference's split_sizes_from_probabilities
+    # enforces >=1 val sample, reference data/utils.py:63-67)
+    assert (sets == "train").sum() == len(sets) - 1
+    assert (sets == "validation").sum() == 1
+
+    df_split = model.predict_on_label_csv(
+        str(Path(toy_data_dir) / "CollectedData.csv"),
+        compute_metrics=False,
+        add_train_val_test_set=True,
+        output_dir=tmp_path / "split",
+    )
+    sets2 = set(np.unique(df_split["set"].to_numpy().ravel()))
+    assert "train" in sets2 and ("validation" in sets2 or "test" in sets2)
