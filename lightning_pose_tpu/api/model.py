@@ -204,9 +204,15 @@ class Model:
         compute_metrics: bool = True,
         add_train_val_test_set: bool = False,
         output_dir: str | Path | None = None,
+        bbox_file: str | Path | None = None,
     ):
         """Predict all frames of a labeled CSV; write
         image_preds/<csv_name>/predictions.csv (reference model.py:958).
+
+        ``bbox_file``: optional per-frame [x, y, h, w] CSV (e.g. from
+        ``litpose create_bbox``); each frame is cropped to its bbox before
+        inference and predictions are remapped to original-frame
+        coordinates (reference model.py:975-980).
 
         ``add_train_val_test_set``: when True, the training splits are
         recreated (seeded) so the output ``set`` column reflects the real
@@ -239,6 +245,7 @@ class Model:
             imgaug_pipeline="default",
             do_context=(cfg.model.model_type == "heatmap_mhcrnn"),
             downsample_factor=int(cfg.data.get("downsample_factor", 2)),
+            bbox_path=str(bbox_file) if bbox_file else None,
         )
         data_module = BaseDataModule(
             dataset=dataset,

@@ -356,3 +356,33 @@ def test_predict_on_label_csv_set_column_semantics(model, toy_data_dir, tmp_path
     )
     sets2 = set(np.unique(df_split["set"].to_numpy().ravel()))
     assert "train" in sets2 and ("validation" in sets2 or "test" in sets2)
+
+
+def test_predict_on_label_csv_bbox_file(model, toy_data_dir, tmp_path):
+    """bbox_file crops each frame before inference and remaps predictions
+    into original-frame coordinates (reference model.py:975-980)."""
+    import pandas as pd
+
+    labels = pd.read_csv(
+        Path(toy_data_dir) / "CollectedData.csv", header=[0, 1, 2], index_col=0
+    )
+    bbox = pd.DataFrame(
+        {
+            "x": [60] * len(labels), "y": [40] * len(labels),
+            "h": [256] * len(labels), "w": [256] * len(labels),
+        },
+        index=labels.index,
+    )
+    bbox_file = tmp_path / "bboxes.csv"
+    bbox.to_csv(bbox_file)
+
+    df = model.predict_on_label_csv(
+        Path(toy_data_dir) / "CollectedData.csv",
+        compute_metrics=False,
+        output_dir=tmp_path / "preds",
+        bbox_file=bbox_file,
+    )
+    xs = df.loc[:, df.columns.get_level_values("coords") == "x"].to_numpy()
+    ys = df.loc[:, df.columns.get_level_values("coords") == "y"].to_numpy()
+    assert np.nanmin(xs) >= 60 - 1 and np.nanmax(xs) <= 60 + 256 + 1
+    assert np.nanmin(ys) >= 40 - 1 and np.nanmax(ys) <= 40 + 256 + 1
