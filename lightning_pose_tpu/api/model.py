@@ -276,6 +276,7 @@ class Model:
         preds_file = out_dir / "predictions.csv"
         df.to_csv(preds_file)
 
+        metrics_result = None
         if compute_metrics:
             from lightning_pose_tpu.metrics import compute_metrics_single
 
@@ -283,7 +284,7 @@ class Model:
             if not labels_file.is_absolute():
                 labels_file = Path(data_dir) / labels_file
             try:
-                compute_metrics_single(
+                metrics_result = compute_metrics_single(
                     cfg=cfg,
                     labels_file=str(labels_file),
                     preds_file=str(preds_file),
@@ -291,7 +292,9 @@ class Model:
                 )
             except Exception as e:
                 logger.warning(f"metrics computation failed: {e}")
-        return df
+        from lightning_pose_tpu.data.datatypes import PredictionResult
+
+        return PredictionResult(predictions=df, metrics=metrics_result)
 
     def predict_on_video_file(
         self,
@@ -329,9 +332,10 @@ class Model:
         video_file_per_view: list[str | Path],
         compute_metrics: bool = True,
         generate_labeled_video: bool = False,
-    ) -> dict:
+    ):
         """Frame-synchronized multiview video inference
-        (reference model.py:1225)."""
+        (reference model.py:1225). Returns a
+        :class:`~lightning_pose_tpu.data.datatypes.MultiviewPredictionResult`."""
         self._load()
         from lightning_pose_tpu.utils.video_predictions import (
             predict_video_multiview,
@@ -355,7 +359,7 @@ class Model:
         compute_metrics: bool = True,
         add_train_val_test_set: bool = False,
         **kwargs,
-    ) -> dict:
+    ):
         """Predict all frames of per-view labeled CSVs
         (reference model.py:1052). ``add_train_val_test_set`` as in
         :meth:`predict_on_label_csv` (reference model.py:1102)."""
@@ -392,6 +396,7 @@ class Model:
         view_to_df = handler(preds)
 
         out = {}
+        out_metrics: dict[str, object] = {}
         for view_name, csv_file in zip(cfg.data.view_names, cfg.data.csv_file):
             df = view_to_df[view_name]
             out_dir = self.image_preds_dir() / Path(csv_file).name
@@ -406,7 +411,7 @@ class Model:
                 if not labels_file.is_absolute():
                     labels_file = Path(data_dir) / labels_file
                 try:
-                    compute_metrics_single(
+                    out_metrics[view_name] = compute_metrics_single(
                         cfg=cfg,
                         labels_file=str(labels_file),
                         preds_file=str(preds_file),
@@ -414,7 +419,11 @@ class Model:
                     )
                 except Exception as e:
                     logger.warning(f"metrics failed ({view_name}): {e}")
-        return out
+        from lightning_pose_tpu.data.datatypes import MultiviewPredictionResult
+
+        return MultiviewPredictionResult(
+            predictions=out, metrics=out_metrics or None
+        )
 
     def predict_frame(
         self,

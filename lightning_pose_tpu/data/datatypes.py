@@ -97,15 +97,56 @@ class SemiSupervisedBatchDict(TypedDict, total=False):
 
 @dataclass
 class PredictionResult:
-    """Result of a prediction call (reference datatypes.py:33)."""
+    """Result of a prediction call (reference datatypes.py:34-76).
+
+    ``metrics`` is a ``ComputeMetricsSingleResult`` (see
+    :mod:`lightning_pose_tpu.metrics`) or None when metrics were not
+    computed.
+    """
 
     predictions: pd.DataFrame
     metrics: object | None = field(default=None)
 
+    def to_dict(self) -> dict:
+        """Predictions + metrics as a flat dict of named numpy arrays, all
+        shaped ``(n_frames, n_keypoints)`` with shared row order (reference
+        datatypes.py:40-76). Metric entries are None when not computed."""
+
+        def _metric(df: pd.DataFrame | None) -> np.ndarray | None:
+            if df is None:
+                return None
+            cols = [c for c in df.columns if c != "set"]
+            return df[cols].to_numpy()
+
+        m = self.metrics
+        preds = self.predictions
+        return {
+            "keypoint_names": list(preds.columns.get_level_values(1).unique()),
+            "index": list(preds.index),
+            "x": preds.xs("x", level=2, axis=1).to_numpy(),
+            "y": preds.xs("y", level=2, axis=1).to_numpy(),
+            "confidence": preds.xs("likelihood", level=2, axis=1).to_numpy(),
+            "pixel_error": _metric(getattr(m, "pixel_error_df", None)) if m else None,
+            "temporal_norm": _metric(getattr(m, "temporal_norm_df", None)) if m else None,
+            "pca_singleview_error": _metric(getattr(m, "pca_sv_df", None)) if m else None,
+            "pca_multiview_error": _metric(getattr(m, "pca_mv_df", None)) if m else None,
+        }
+
 
 @dataclass
 class MultiviewPredictionResult:
-    """Per-view prediction dataframes (reference datatypes.py)."""
+    """Per-view prediction dataframes (reference datatypes.py:79-100)."""
 
     predictions: dict[str, pd.DataFrame]
     metrics: dict[str, object] | None = field(default=None)
+
+    def to_dict(self) -> dict:
+        """Per-view :meth:`PredictionResult.to_dict` outputs, keyed by view
+        name (reference datatypes.py:85-100)."""
+        return {
+            view: PredictionResult(
+                predictions=df,
+                metrics=self.metrics.get(view) if self.metrics else None,
+            ).to_dict()
+            for view, df in self.predictions.items()
+        }

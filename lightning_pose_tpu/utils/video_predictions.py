@@ -35,9 +35,11 @@ def predict_video(
     compute_metrics: bool = True,
     bbox_df=None,
     progress_file=None,
-) -> "np.ndarray":
+):
     """Run inference on one video; write ``video_preds/<stem>.csv`` (+
-    optional labeled mp4 + metric side CSVs).
+    optional labeled mp4 + metric side CSVs). Returns a
+    :class:`~lightning_pose_tpu.data.datatypes.PredictionResult`
+    (reference api/model.py:1139 returns the same).
 
     ``bbox_df``: optional per-frame [x, y, h, w] DataFrame for bbox-crop
     inference (the detector->pose cropzoom path, reference dali.py:332-396);
@@ -121,11 +123,12 @@ def predict_video(
     os.makedirs(os.path.dirname(preds_file), exist_ok=True)
     df.to_csv(preds_file)
 
+    metrics_result = None
     if compute_metrics:
         try:
             from lightning_pose_tpu.metrics import compute_metrics_single
 
-            compute_metrics_single(
+            metrics_result = compute_metrics_single(
                 cfg=cfg, labels_file=None, preds_file=preds_file,
                 data_module=data_module,
             )
@@ -149,7 +152,9 @@ def predict_video(
         except Exception as e:
             logger.warning(f"labeled video generation failed: {e}")
 
-    return df
+    from lightning_pose_tpu.data.datatypes import PredictionResult
+
+    return PredictionResult(predictions=df, metrics=metrics_result)
 
 
 def predict_video_multiview(
@@ -161,9 +166,11 @@ def predict_video_multiview(
     model_dir: str,
     generate_labeled_video: bool = False,
     compute_metrics: bool = True,
-) -> dict:
+):
     """Frame-synchronized multiview video inference: one CSV per view
-    (reference api/model.py:1225 ``predict_on_video_file_multiview``)."""
+    (reference api/model.py:1225 ``predict_on_video_file_multiview``).
+    Returns a
+    :class:`~lightning_pose_tpu.data.datatypes.MultiviewPredictionResult`."""
     import cv2
 
     from lightning_pose_tpu.data.video import MultiviewPredictVideoLoader
@@ -207,6 +214,7 @@ def predict_video_multiview(
     preds_dir = Path(model_dir) / "video_preds"
     preds_dir.mkdir(parents=True, exist_ok=True)
     out = {}
+    out_metrics: dict[str, object] = {}
     for view_name, video_file in zip(view_names, video_file_per_view):
         df = view_to_df[view_name]
         preds_file = preds_dir / (Path(video_file).stem + ".csv")
@@ -216,7 +224,7 @@ def predict_video_multiview(
             try:
                 from lightning_pose_tpu.metrics import compute_metrics_single
 
-                compute_metrics_single(
+                out_metrics[view_name] = compute_metrics_single(
                     cfg=cfg, labels_file=None, preds_file=str(preds_file)
                 )
             except Exception as e:
@@ -238,7 +246,11 @@ def predict_video_multiview(
                 )
             except Exception as e:
                 logger.warning(f"labeled video failed ({view_name}): {e}")
-    return out
+    from lightning_pose_tpu.data.datatypes import MultiviewPredictionResult
+
+    return MultiviewPredictionResult(
+        predictions=out, metrics=out_metrics or None
+    )
 
 
 def generate_labeled_video(

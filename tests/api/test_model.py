@@ -211,9 +211,16 @@ def test_predict_frame_fp32_bf16_agree_loosely(model_dir):
 def test_predict_on_label_csv_artifact_contract(model, cfg, toy_data_dir):
     import pandas as pd
 
-    df = model.predict_on_label_csv(
+    result = model.predict_on_label_csv(
         Path(toy_data_dir) / "CollectedData.csv", compute_metrics=True
     )
+    df = result.predictions
+    # reference API contract: a PredictionResult with metrics + to_dict()
+    assert result.metrics is not None
+    assert result.metrics.pixel_error_df is not None
+    d = result.to_dict()
+    assert d["x"].shape == d["confidence"].shape
+    assert d["pixel_error"] is not None
     labels = pd.read_csv(
         Path(toy_data_dir) / "CollectedData.csv", header=[0, 1, 2], index_col=0
     )
@@ -340,7 +347,7 @@ def test_predict_on_label_csv_set_column_semantics(model, toy_data_dir, tmp_path
         str(Path(toy_data_dir) / "CollectedData.csv"),
         compute_metrics=False,
         output_dir=tmp_path / "default",
-    )
+    ).predictions
     sets = df_default["set"].to_numpy().ravel()
     # train_prob=1 marks everything train except the single forced
     # validation frame (the reference's split_sizes_from_probabilities
@@ -353,7 +360,7 @@ def test_predict_on_label_csv_set_column_semantics(model, toy_data_dir, tmp_path
         compute_metrics=False,
         add_train_val_test_set=True,
         output_dir=tmp_path / "split",
-    )
+    ).predictions
     sets2 = set(np.unique(df_split["set"].to_numpy().ravel()))
     assert "train" in sets2 and ("validation" in sets2 or "test" in sets2)
 
@@ -381,7 +388,7 @@ def test_predict_on_label_csv_bbox_file(model, toy_data_dir, tmp_path):
         compute_metrics=False,
         output_dir=tmp_path / "preds",
         bbox_file=bbox_file,
-    )
+    ).predictions
     xs = df.loc[:, df.columns.get_level_values("coords") == "x"].to_numpy()
     ys = df.loc[:, df.columns.get_level_values("coords") == "y"].to_numpy()
     assert np.nanmin(xs) >= 60 - 1 and np.nanmax(xs) <= 60 + 256 + 1

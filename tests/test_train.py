@@ -219,8 +219,9 @@ def test_train_multiview(cfg, mv_data_dir, tmp_path):
     out = m.predict_on_label_csv_multiview(
         csv_file_per_view=["top.csv", "bot.csv"], compute_metrics=False
     )
-    assert set(out.keys()) == {"top", "bot"}
-    assert out["top"].shape[0] == 90
+    assert set(out.predictions.keys()) == {"top", "bot"}
+    assert out.predictions["top"].shape[0] == 90
+    assert set(out.to_dict().keys()) == {"top", "bot"}
 
     # predict_frame on a multiview model takes one frame per view
     result = m.predict_frame(np.zeros((2, 168, 396, 3), dtype=np.uint8))
