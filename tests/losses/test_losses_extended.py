@@ -230,3 +230,78 @@ class TestUnimodalKLJS:
             confidences=jnp.ones((b, kp.shape[1])),
         )
         assert float(s_bi) > float(s_uni)
+
+
+class TestTemporalHeatmapLoss:
+    """reference tests/losses/test_losses.py:412-505."""
+
+    def _gaussian_stack(self, centers):
+        """(T, 16, 16, 1) normalized gaussians at the given (x, y) centers."""
+        yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        maps = []
+        for cx, cy in centers:
+            m = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.25**2))
+            maps.append(m / m.sum())
+        return jnp.asarray(np.stack(maps)[..., None].astype(np.float32))
+
+    def test_invalid_loss_name_raises(self):
+        from lightning_pose_tpu.losses.losses import TemporalHeatmapLoss
+
+        with pytest.raises(ValueError, match="Invalid loss_name"):
+            TemporalHeatmapLoss(loss_name="temporal_heatmap_js")
+
+    @pytest.mark.parametrize(
+        "name", ["temporal_heatmap_mse", "temporal_heatmap_kl"]
+    )
+    def test_zero_for_constant_heatmaps(self, name):
+        from lightning_pose_tpu.losses.losses import TemporalHeatmapLoss
+
+        loss = TemporalHeatmapLoss(loss_name=name)
+        hms = self._gaussian_stack([(8, 8)] * 4)
+        confs = jnp.ones((4, 1))
+        value, logs = loss(hms, confs)
+        assert float(value) == pytest.approx(0.0, abs=1e-6)
+        assert f"train_{name}_loss" in {
+            k.replace("unsupervised_", "") for k in logs
+        } or logs  # log dict present
+
+    @pytest.mark.parametrize(
+        "name", ["temporal_heatmap_mse", "temporal_heatmap_kl"]
+    )
+    def test_positive_for_moving_heatmaps(self, name):
+        from lightning_pose_tpu.losses.losses import TemporalHeatmapLoss
+
+        loss = TemporalHeatmapLoss(loss_name=name)
+        hms = self._gaussian_stack([(4, 4), (8, 8), (12, 12), (4, 12)])
+        confs = jnp.ones((4, 1))
+        value, _ = loss(hms, confs)
+        assert float(value) > 0.0
+
+    def test_low_confidence_pairs_masked(self):
+        from lightning_pose_tpu.losses.losses import TemporalHeatmapLoss
+
+        loss = TemporalHeatmapLoss(
+            loss_name="temporal_heatmap_mse", prob_threshold=0.5
+        )
+        hms = self._gaussian_stack([(4, 4), (12, 12)])
+        # one frame below threshold -> the only pair masked -> zero loss
+        confs = jnp.asarray([[0.9], [0.1]])
+        value, _ = loss(hms, confs)
+        assert float(value) == 0.0
+        # both above threshold -> positive
+        value2, _ = loss(hms, jnp.asarray([[0.9], [0.9]]))
+        assert float(value2) > 0.0
+
+    def test_epsilon_rectifies_small_diffs(self):
+        from lightning_pose_tpu.losses.losses import TemporalHeatmapLoss
+
+        hms = self._gaussian_stack([(8, 8), (9, 8)])  # small motion
+        confs = jnp.ones((2, 1))
+        base, _ = TemporalHeatmapLoss(loss_name="temporal_heatmap_mse")(
+            hms, confs
+        )
+        assert float(base) > 0.0
+        rectified, _ = TemporalHeatmapLoss(
+            loss_name="temporal_heatmap_mse", epsilon=1.0
+        )(hms, confs)
+        assert float(rectified) == 0.0

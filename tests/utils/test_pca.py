@@ -139,3 +139,78 @@ def test_keypoint_pca_multiview(cfg, toy_data_dir):
     pca()
     assert pca._n_components_kept == 3
     assert pca.parameters["kept_eigenvectors"].shape == (3, 4)  # 2 views x 2 coords
+
+
+def test_keypoint_pca_centering_methods(cfg, toy_data_dir):
+    """mean/median centering subtracts the per-sample center before the fit
+    (reference pca.py centering + tests/utils/test_pca.py:80-145)."""
+    from lightning_pose_tpu.data.datamodules import BaseDataModule
+    from lightning_pose_tpu.data.datasets import HeatmapDataset
+    from lightning_pose_tpu.utils.pca import KeypointPCA
+
+    ds = HeatmapDataset(
+        root_directory=toy_data_dir, csv_path="CollectedData.csv",
+        image_resize_height=128, image_resize_width=128,
+        imgaug_pipeline="default",
+    )
+    dm = BaseDataModule(dataset=ds, train_probability=0.8, torch_seed=0)
+    for method in ("mean", "median"):
+        pca = KeypointPCA(
+            loss_type="pca_singleview",
+            data_module=dm,
+            components_to_keep=3,
+            columns_for_singleview_pca=[0, 1, 2, 3, 4, 5, 6],
+            centering_method=method,
+        )
+        pca()  # fit
+        assert pca.parameters["mean"].shape[-1] == 14  # 7 kps x 2
+        # centered data has (near-)zero per-sample center (rows with any
+        # NaN keypoint get a NaN center -- skip those)
+        kp = pca.data_arr.reshape(pca.data_arr.shape[0], -1, 2)
+        full_rows = ~np.isnan(kp).any(axis=(1, 2))
+        center = (
+            np.mean(kp[full_rows], axis=1) if method == "mean"
+            else np.quantile(kp[full_rows], 0.5, axis=1)
+        )
+        np.testing.assert_allclose(center, 0.0, atol=1e-3)
+        err = pca.compute_reprojection_error(pca.data_arr)
+        assert np.isfinite(err[~np.isnan(err)]).all()
+
+    with pytest.raises((ValueError, NotImplementedError)):
+        KeypointPCA(
+            loss_type="pca_singleview",
+            data_module=dm,
+            components_to_keep=3,
+            columns_for_singleview_pca=[0, 1, 2],
+            centering_method="mode",
+        )()
+
+
+def test_component_chooser_invalid_args():
+    from lightning_pose_tpu.utils.pca import ComponentChooser
+
+    evr = np.array([0.6, 0.3, 0.08, 0.02])
+    # integer larger than observed dims
+    with pytest.raises(ValueError, match="exceeding"):
+        ComponentChooser(evr, 99)
+    # proportion > 1
+    with pytest.raises(ValueError, match="between 0.0 and 1.0"):
+        ComponentChooser(evr, 1.5)
+    # valid: fraction selects the smallest count reaching the threshold
+    assert ComponentChooser(evr, 0.85)() == 2
+    assert ComponentChooser(evr, 1.0)() == 4
+    assert ComponentChooser(evr, 3)() == 3
+
+
+def test_nan_pca_whole_row_nan(rng):
+    """A sample with ALL coordinates missing transforms without crashing
+    (reference tests/utils/test_pca.py:325-337)."""
+    from lightning_pose_tpu.utils.pca import nan_pca_fit, nan_pca_transform
+
+    data = rng.standard_normal((40, 6)).astype(np.float64)
+    data[3, :] = np.nan
+    fitted = nan_pca_fit(data)
+    out = nan_pca_transform(data, fitted["mean_"], fitted["components_"][:2])
+    assert out.shape == (40, 2)
+    ok_rows = [i for i in range(40) if i != 3]
+    assert np.isfinite(out[ok_rows]).all()
