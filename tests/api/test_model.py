@@ -393,3 +393,65 @@ def test_predict_on_label_csv_bbox_file(model, toy_data_dir, tmp_path):
     ys = df.loc[:, df.columns.get_level_values("coords") == "y"].to_numpy()
     assert np.nanmin(xs) >= 60 - 1 and np.nanmax(xs) <= 60 + 256 + 1
     assert np.nanmin(ys) >= 40 - 1 and np.nanmax(ys) <= 40 + 256 + 1
+
+
+def test_predict_on_video_file_multiview(cfg, mv_data_dir, tmp_path):
+    """Frame-synced multiview video inference through the Model API:
+    per-view CSVs + a MultiviewPredictionResult (reference model.py:1225)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.video_dir = f"{mv_data_dir}/videos"
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.view_names = ["top", "bot"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = [
+        "paw1LH", "paw2LF", "paw3RF", "paw4RH", "tailBase", "tailMid", "nose",
+    ]
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.model.model_type = "heatmap_multiview"
+    c.model.backbone = "vits_dino"
+    c.model.model_name = "mv-api"
+    c.dali.base.predict.sequence_length = 8
+
+    module, _meta = get_model(c, num_keypoints=7)
+    dummy = jnp.zeros((1, 2, 128, 128, 3), dtype=jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), dummy, train=False)
+    model_dir = tmp_path / "mv_model"
+    version_dir = Path(
+        ckpt_utils.next_version_dir(str(model_dir), c.model.model_name)
+    )
+    ckpt_dir = ckpt_utils.checkpoint_dir(str(version_dir))
+    ckpt_utils.save_checkpoint(
+        str(Path(ckpt_dir) / "epoch=0-step=0-best.ckpt"),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=0, epoch=0,
+    )
+    ckpt_utils.wait_for_saves()
+    c.save(str(model_dir / "config.yaml"))
+
+    m = Model.from_dir(model_dir)
+    videos = sorted(Path(mv_data_dir, "videos").glob("test_vid_*.mp4"))
+    top = [v for v in videos if v.stem.endswith("_top")]
+    bot = [v for v in videos if v.stem.endswith("_bot")]
+    assert top and bot
+    result = m.predict_on_video_file_multiview(
+        [str(top[0]), str(bot[0])], compute_metrics=True
+    )
+    assert set(result.predictions.keys()) == {"top", "bot"}
+    for view, video in zip(["top", "bot"], [top[0], bot[0]]):
+        df = result.predictions[view]
+        assert len(df) == 60  # fixture videos are 60 frames
+        csv = Path(model_dir) / "video_preds" / (video.stem + ".csv")
+        assert csv.exists()
+    # temporal-norm metric computed per view
+    assert result.metrics is not None
+    assert result.metrics["top"].temporal_norm_df is not None
