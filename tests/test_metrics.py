@@ -129,3 +129,47 @@ def test_compute_metrics_single_with_visible_column(tmp_path, cfg):
     assert result.pixel_error_df is not None
     assert result.pixel_error_df.shape == (n_frames, n_keypoints + 1)  # + set
     assert list(result.pixel_error_df.columns[:n_keypoints]) == keypoints
+
+
+def test_compute_metrics_single_pca_paths(tmp_path, cfg, toy_data_dir):
+    """With a data_module and PCA config, labeled metrics include
+    pca_singleview/pca_multiview reprojection-error side CSVs
+    (reference metrics.py:240-327)."""
+    import os
+
+    from lightning_pose_tpu.data.datamodules import BaseDataModule
+    from lightning_pose_tpu.data.datasets import HeatmapDataset
+
+    ds = HeatmapDataset(
+        root_directory=toy_data_dir, csv_path="CollectedData.csv",
+        image_resize_height=128, image_resize_width=128,
+        imgaug_pipeline="default",
+    )
+    dm = BaseDataModule(dataset=ds, train_probability=0.8, torch_seed=0)
+
+    labels_file = os.path.join(toy_data_dir, "CollectedData.csv")
+    labels = pd.read_csv(labels_file, header=[0, 1, 2], index_col=0)
+    preds_file = tmp_path / "predictions.csv"
+    _write_preds_csv(
+        preds_file, len(labels), cfg.data.keypoint_names, with_set=True,
+        index=labels.index,
+    )
+    result = metrics.compute_metrics_single(
+        cfg=cfg, labels_file=labels_file, preds_file=str(preds_file),
+        data_module=dm,
+    )
+    assert result.pixel_error_df is not None
+    assert result.pca_sv_df is not None
+    assert result.pca_mv_df is not None
+    assert (tmp_path / "predictions_pca_singleview_error.csv").exists()
+    assert (tmp_path / "predictions_pca_multiview_error.csv").exists()
+    # all keypoint columns present; only the pca subset carries values,
+    # the rest stay NaN (reference metrics.py:92-131 fills NaN outside
+    # the configured columns)
+    kp_cols = [c for c in result.pca_sv_df.columns if c != "set"]
+    assert len(kp_cols) == len(cfg.data.keypoint_names)
+    arr = result.pca_sv_df[kp_cols].to_numpy()
+    subset = list(cfg.data.columns_for_singleview_pca)
+    non_subset = [i for i in range(len(kp_cols)) if i not in subset]
+    assert not np.isnan(arr[:, subset]).all()
+    assert np.isnan(arr[:, non_subset]).all()
