@@ -114,3 +114,66 @@ def test_train_duration_steps_in_tb_logs(cfg, tmp_path):
     assert steps == list(range(1, 7))  # 3 epochs x 2 steps
     epochs = dict(scalars["epoch"])
     assert epochs[2] == 0 and epochs[4] == 1 and epochs[6] == 2
+
+
+@pytest.mark.slow
+def test_early_stopping_halts_before_max_epochs(cfg, tmp_path):
+    """With a divergent LR the val loss never improves after the first
+    check; early stopping halts after `patience` bad val checks
+    (reference callbacks.py get_callbacks EarlyStopping semantics)."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.training.max_epochs = 12
+    c.training.min_epochs = 1
+    c.training.check_val_every_n_epoch = 1
+    c.training.early_stopping = True
+    c.training.early_stop_patience = 2
+    c.training.unfreezing_epoch = 0
+    c.training.optimizer_params.learning_rate = 1e6  # diverge immediately
+    c.training.lr_scheduler_params.multisteplr.milestones = [11]
+    c.model.model_name = "earlystop-test"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path, skip_evaluation=True)
+
+    scalars = read_tb_scalars(str(tmp_path / "tb_logs"))
+    epochs_logged = {int(v) for _, v in scalars["epoch"]}
+    # stopped well before max_epochs (first val is best; the next
+    # `patience` checks are all worse/NaN)
+    assert max(epochs_logged) < 11
+    # a best checkpoint exists despite the early stop
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    ckpt = ckpt_path_from_base_path(str(tmp_path), "earlystop-test")
+    assert ckpt is not None and ckpt.endswith("-best.ckpt")
+
+
+@pytest.mark.slow
+def test_ckpt_every_n_epochs_writes_periodic_checkpoints(cfg, tmp_path):
+    """cfg.training.ckpt_every_n_epochs writes non-best epoch checkpoints
+    alongside the best one (reference callbacks.py:628-689)."""
+    import glob as globmod
+
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.training.max_epochs = 4
+    c.training.min_epochs = 4
+    c.training.check_val_every_n_epoch = 1
+    c.training.ckpt_every_n_epochs = 2
+    c.training.unfreezing_epoch = 0
+    c.training.lr_scheduler_params.multisteplr.milestones = [3]
+    c.model.model_name = "ckpt-every-test"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path, skip_evaluation=True)
+
+    ckpts = sorted(
+        globmod.glob(str(tmp_path / "tb_logs" / "ckpt-every-test" /
+                         "version_0" / "checkpoints" / "*.ckpt"))
+    )
+    names = [c.split("/")[-1] for c in ckpts]
+    # periodic (non-best) checkpoints at epochs 1 and 3
+    periodic = [n for n in names if "-best" not in n]
+    assert any(n.startswith("epoch=1-") for n in periodic)
+    assert any(n.startswith("epoch=3-") for n in periodic)
+    assert any("-best" in n for n in names)
