@@ -150,11 +150,18 @@ class Model:
         batch_stats = flax.serialization.from_state_dict(
             variables.get("batch_stats", {}), ckpt["batch_stats"]
         )
-        self._state = TrainState(
-            step=jnp.asarray(ckpt.get("step", 0), dtype=jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=None,
+        # device_put ONCE: from_state_dict returns host (numpy) arrays, and
+        # jitted calls do not cache host->device transfers of numpy args —
+        # without this every predict call re-ships the full parameter set
+        # (~100 MB for ResNet-50), which dominates wall time on
+        # bandwidth-limited links
+        self._state = jax.device_put(
+            TrainState(
+                step=jnp.asarray(ckpt.get("step", 0), dtype=jnp.int32),
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=None,
+            )
         )
 
         is_heatmap = meta["model_type"].startswith("heatmap")
