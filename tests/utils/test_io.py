@@ -225,3 +225,32 @@ def test_find_video_files_for_views_skips_incomplete_sessions(tmp_path):
     sessions = find_video_files_for_views(str(vids), ["top", "bot"])
     assert len(sessions) == 1
     assert all("sessB" in str(v) for v in sessions[0])
+
+
+def test_collect_video_files_by_view(tmp_path):
+    """Exact-one-file-per-view matching with word-boundary semantics
+    (reference utils/io.py:467-495)."""
+    from pathlib import Path
+
+    from lightning_pose_tpu.utils.io import collect_video_files_by_view
+
+    files = [Path("sess1_top.mp4"), Path("sess1_bot.mp4")]
+    out = collect_video_files_by_view(files, ["top", "bot"])
+    assert out["top"].name == "sess1_top.mp4"
+    assert out["bot"].name == "sess1_bot.mp4"
+
+    # word boundary: view 'top' must not match 'laptop'
+    with pytest.raises(ValueError, match="not found for view"):
+        collect_video_files_by_view(
+            [Path("sess1_laptop.mp4"), Path("sess1_bot.mp4")], ["top", "bot"]
+        )
+
+    # one view matching two files is ambiguous
+    with pytest.raises(ValueError, match="matches multiple"):
+        collect_video_files_by_view(
+            [Path("a_top.mp4"), Path("b_top.mp4")], ["top", "top"]
+        )
+
+    # count mismatch is rejected up front
+    with pytest.raises(AssertionError):
+        collect_video_files_by_view([Path("a_top.mp4")], ["top", "bot"])
