@@ -170,10 +170,21 @@ class Model:
 
         def predict_step(state, images_uint8, bbox):
             # fused Pallas uint8 -> normalized compute-dtype pass on TPU;
-            # XLA normalize elsewhere (numerically equal up to dtype rounding)
+            # XLA normalize elsewhere (numerically equal up to dtype rounding).
+            # 3-dim input = planar I420 video batches (half the transfer
+            # bytes); converted to normalized RGB on device (ops/yuv.py)
             from lightning_pose_tpu.ops.preprocess import normalize_images_fused
 
-            images = normalize_images_fused(images_uint8, out_dtype=compute_dtype)
+            if images_uint8.ndim == 3:
+                from lightning_pose_tpu.ops.yuv import i420_to_normalized_rgb
+
+                images = i420_to_normalized_rgb(
+                    images_uint8, out_dtype=compute_dtype
+                )
+            else:
+                images = normalize_images_fused(
+                    images_uint8, out_dtype=compute_dtype
+                )
             vs = {"params": state.params, "batch_stats": state.batch_stats}
             if is_context:
                 from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
@@ -314,7 +325,12 @@ class Model:
     ):
         """Predict a video; write video_preds/<stem>.csv
         (reference model.py:1139). ``bbox_df`` enables bbox-crop inference;
-        ``progress_file`` writes per-batch App progress JSON."""
+        ``progress_file`` writes per-batch App progress JSON.
+
+        Frames move host->device as planar 4:2:0 YUV on TPU (half the
+        transfer bytes, converted on device — the analog of DALI shipping
+        the compressed stream to the GPU, reference dali.py:70-124);
+        override with ``cfg.eval.video_transfer_format: rgb|yuv420``."""
         self._load()
         from lightning_pose_tpu.utils.video_predictions import predict_video
 
@@ -332,7 +348,26 @@ class Model:
             compute_metrics=compute_metrics,
             bbox_df=bbox_df,
             progress_file=progress_file,
+            transfer_format=self._video_transfer_format(),
         )
+
+    def _video_transfer_format(self) -> str:
+        """Resolve cfg.eval.video_transfer_format (default 'auto'):
+        'yuv420' on TPU backends, 'rgb' elsewhere and for exported
+        runtimes (their serialized input shapes are RGB)."""
+        if getattr(self, "_exported_runtime_active", False):
+            return "rgb"
+        fmt = str(self.cfg.eval.get("video_transfer_format", "auto")).lower()
+        if fmt == "auto":
+            import jax
+
+            return "yuv420" if jax.default_backend() == "tpu" else "rgb"
+        if fmt not in ("rgb", "yuv420"):
+            raise ValueError(
+                f"cfg.eval.video_transfer_format must be rgb|yuv420|auto, "
+                f"got {fmt!r}"
+            )
+        return fmt
 
     def predict_on_video_file_multiview(
         self,
@@ -623,6 +658,7 @@ class Model:
             )
 
         self._predict_fn = exported_predict
+        self._exported_runtime_active = True
         logger.info(f"predictions now run the exported program at {path}")
 
     @staticmethod

@@ -123,17 +123,27 @@ class PredictVideoLoader:
         prefetch_batches: int = 3,
         bbox_df=None,
         decode_threads: int | None = None,
+        transfer_format: str = "rgb",
     ):
         """``bbox_df``: optional per-frame [x, y, h, w] DataFrame — bbox-crop
         mode decodes at full resolution and crops+resizes each frame
         (reference dali.py:332-396); batches then carry per-frame bboxes.
         ``decode_threads``: worker decoders sharding the video by window
-        (default :func:`default_decode_threads`)."""
+        (default :func:`default_decode_threads`).
+        ``transfer_format``: 'rgb' emits (T, h, w, 3) uint8 batches;
+        'yuv420' emits planar I420 (T, h*3/2, w) uint8 — half the
+        host->device bytes, converted to RGB on device
+        (ops/yuv.i420_to_normalized_rgb)."""
         self.video_file = str(video_file)
         self.seq_len = int(sequence_length)
         self.h = int(resize_height)
         self.w = int(resize_width)
         self.do_context = do_context
+        if transfer_format not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown transfer_format {transfer_format!r}")
+        if transfer_format == "yuv420" and (self.h % 2 or self.w % 2):
+            raise ValueError("yuv420 transfer requires even resize dims")
+        self.transfer_format = transfer_format
         self.prefetch_batches = prefetch_batches
         self.frame_count = count_frames(self.video_file)
         self.bbox_df = bbox_df
@@ -150,15 +160,24 @@ class PredictVideoLoader:
             return int(np.ceil(usable / self.step))
         return int(np.ceil(self.frame_count / self.seq_len))
 
+    def _finalize(self, rgb_batch: np.ndarray) -> np.ndarray:
+        """Apply the transfer format: passthrough RGB or per-frame I420."""
+        if self.transfer_format == "rgb":
+            return rgb_batch
+        return np.stack(
+            [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in rgb_batch]
+        )
+
     def _convert(self, raw_frames: list[np.ndarray], start_idx: int) -> np.ndarray:
         """Raw BGR native-res frames -> (T, h, w, 3) RGB uint8 batch (fused
-        native BGR->RGB+resize, parallelized across frames)."""
+        native BGR->RGB+resize, parallelized across frames), in
+        ``transfer_format`` layout."""
         from lightning_pose_tpu import native
 
         stacked = np.stack(raw_frames)
         if self.bbox_df is None:
-            return native.batch_resize_rgb(
-                stacked, self.h, self.w, swap_rb=True
+            return self._finalize(
+                native.batch_resize_rgb(stacked, self.h, self.w, swap_rb=True)
             )
         # bbox-crop mode: per-frame crop+resize (reference dali.py:332-396)
         n = stacked.shape[0]
@@ -190,7 +209,7 @@ class PredictVideoLoader:
                 out[i] = cv2.resize(
                     cv2.cvtColor(crop, cv2.COLOR_BGR2RGB), (self.w, self.h)
                 )
-        return out
+        return self._finalize(out)
 
     def _produce(self, q: queue.Queue) -> None:
         decoder = VideoFrameDecoder(self.video_file, self.h, self.w)

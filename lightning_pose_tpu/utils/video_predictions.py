@@ -35,11 +35,15 @@ def predict_video(
     compute_metrics: bool = True,
     bbox_df=None,
     progress_file=None,
+    transfer_format: str = "rgb",
 ):
     """Run inference on one video; write ``video_preds/<stem>.csv`` (+
     optional labeled mp4 + metric side CSVs). Returns a
     :class:`~lightning_pose_tpu.data.datatypes.PredictionResult`
     (reference api/model.py:1139 returns the same).
+
+    ``transfer_format``: 'rgb' or 'yuv420' — the host->device batch layout
+    (the predict_fn must understand 3-dim I420 batches for 'yuv420').
 
     ``bbox_df``: optional per-frame [x, y, h, w] DataFrame for bbox-crop
     inference (the detector->pose cropzoom path, reference dali.py:332-396);
@@ -59,6 +63,7 @@ def predict_video(
         resize_width=width,
         do_context=do_context,
         bbox_df=bbox_df,
+        transfer_format=transfer_format,
     )
 
     # predictions are remapped to original video resolution via a full-frame

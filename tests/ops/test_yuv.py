@@ -1,0 +1,139 @@
+"""I420 -> RGB device conversion: parity vs cv2 and end-to-end keypoint
+deviation of the half-bandwidth video-transfer path."""
+
+import cv2
+import numpy as np
+import pytest
+
+
+def test_i420_to_rgb_matches_cv2_on_real_frames(toy_data_dir):
+    """Device conversion must match cv2.COLOR_YUV2RGB_I420 to rounding
+    (+-2/255) on real video frames."""
+    import os
+
+    from lightning_pose_tpu.ops.yuv import i420_to_rgb
+
+    cap = cv2.VideoCapture(
+        os.path.join(toy_data_dir, "videos", "test_vid.mp4")
+    )
+    frames = []
+    for _ in range(4):
+        ret, f = cap.read()
+        assert ret
+        frames.append(
+            cv2.resize(cv2.cvtColor(f, cv2.COLOR_BGR2RGB), (128, 128))
+        )
+    cap.release()
+
+    yuv = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames])
+    assert yuv.shape == (4, 192, 128)
+    ours = np.asarray(i420_to_rgb(yuv))
+    golden = np.stack(
+        [cv2.cvtColor(y, cv2.COLOR_YUV2RGB_I420) for y in yuv]
+    ).astype(np.float32)
+    assert np.abs(ours - golden).max() <= 2.0
+    # lossy chroma subsampling is bounded on natural frames
+    rgb = np.stack(frames).astype(np.float32)
+    assert np.abs(ours - rgb).mean() < 3.0
+
+
+def test_i420_to_rgb_matches_cv2_on_synthetic():
+    from lightning_pose_tpu.ops.yuv import i420_to_rgb
+
+    rng = np.random.default_rng(0)
+    # smooth image (avoid per-pixel chroma noise: we compare against cv2's
+    # decode of the SAME I420 data, so noise is fine for the decode parity)
+    rgb = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    yuv = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in rgb])
+    ours = np.asarray(i420_to_rgb(yuv))
+    golden = np.stack(
+        [cv2.cvtColor(y, cv2.COLOR_YUV2RGB_I420) for y in yuv]
+    ).astype(np.float32)
+    assert np.abs(ours - golden).max() <= 2.0
+
+
+def test_i420_normalized_matches_rgb_normalize():
+    """The fused normalized output equals convert-then-normalize."""
+    from lightning_pose_tpu.ops.preprocess import normalize_images
+    from lightning_pose_tpu.ops.yuv import i420_to_normalized_rgb, i420_to_rgb
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    yuv = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in rgb])
+    fused = np.asarray(i420_to_normalized_rgb(yuv))
+    manual = np.asarray(normalize_images(i420_to_rgb(yuv)))
+    np.testing.assert_allclose(fused, manual, atol=1e-5)
+
+
+def test_loader_yuv420_format(toy_data_dir):
+    """yuv420 loader batches carry the I420 layout and decode back to the
+    rgb loader's batches up to chroma rounding."""
+    import os
+
+    from lightning_pose_tpu.data.video import PredictVideoLoader
+    from lightning_pose_tpu.ops.yuv import i420_to_rgb
+
+    video = os.path.join(toy_data_dir, "videos", "test_vid.mp4")
+    rgb_loader = PredictVideoLoader(
+        video, sequence_length=8, resize_height=128, resize_width=128
+    )
+    yuv_loader = PredictVideoLoader(
+        video, sequence_length=8, resize_height=128, resize_width=128,
+        transfer_format="yuv420",
+    )
+    rgb_batch = next(iter(rgb_loader))
+    yuv_batch = next(iter(yuv_loader))
+    assert rgb_batch.shape == (8, 128, 128, 3)
+    assert yuv_batch.shape == (8, 192, 128)
+    assert yuv_batch.dtype == np.uint8
+    back = np.asarray(i420_to_rgb(yuv_batch))
+    assert np.abs(back - rgb_batch.astype(np.float32)).mean() < 3.0
+
+
+def test_loader_transfer_format_validation(toy_data_dir):
+    import os
+
+    from lightning_pose_tpu.data.video import PredictVideoLoader
+
+    video = os.path.join(toy_data_dir, "videos", "test_vid.mp4")
+    with pytest.raises(ValueError, match="transfer_format"):
+        PredictVideoLoader(
+            video, sequence_length=8, resize_height=128, resize_width=128,
+            transfer_format="nv12",
+        )
+
+
+@pytest.mark.slow
+def test_yuv_video_inference_keypoint_deviation(cfg, tmp_path):
+    """End-to-end: a trained model's video predictions through the yuv420
+    transfer path deviate <1 px from the rgb path (the transfer is
+    subsampled-chroma-lossless for 4:2:0 sources; this bounds the full
+    pipeline including the extra convert round-trip)."""
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.training.max_epochs = 2
+    c.training.min_epochs = 2
+    c.training.unfreezing_epoch = 0
+    c.model.model_name = "yuv-e2e"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path, skip_evaluation=True)
+
+    video = str(cfg.data.video_dir) + "/test_vid.mp4"
+    m = Model.from_dir(tmp_path)
+    m.cfg.eval.video_transfer_format = "rgb"
+    df_rgb = m.predict_on_video_file(
+        video, compute_metrics=False, output_dir=tmp_path / "rgb"
+    ).predictions
+    m.cfg.eval.video_transfer_format = "yuv420"
+    df_yuv = m.predict_on_video_file(
+        video, compute_metrics=False, output_dir=tmp_path / "yuv"
+    ).predictions
+
+    coords = df_rgb.columns.get_level_values("coords").isin(["x", "y"])
+    dev = np.abs(
+        df_rgb.loc[:, coords].to_numpy() - df_yuv.loc[:, coords].to_numpy()
+    )
+    assert np.nanmedian(dev) < 1.0
+    assert np.nanquantile(dev, 0.95) < 3.0
