@@ -650,3 +650,65 @@ def test_epoch_scan_matches_per_step(cfg, toy_data_dir):
     np.testing.assert_allclose(scan_losses, per_step_losses, rtol=1e-5)
     np.testing.assert_allclose(p_scan, p_seq, atol=1e-6)
     assert int(state2.step) == n_steps
+
+
+@pytest.mark.slow
+def test_train_regression(cfg, tmp_path):
+    """Regression tracker end-to-end through train(): supervised direct
+    coordinate regression (reference run_model_test covers every model
+    type, tests/models/test_regression_tracker.py)."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.model.model_type = "regression"
+    c.model.model_name = "regression-test"
+    c.training.max_epochs = 1
+    c.training.min_epochs = 1
+    c.eval.predict_vids_after_training = False
+    model = train(c, model_dir=tmp_path)
+
+    assert (tmp_path / "predictions.csv").exists()
+    assert (tmp_path / "config.yaml").exists()
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    ckpt = ckpt_path_from_base_path(str(tmp_path), "regression-test")
+    assert ckpt is not None
+
+    # regression predictions carry unit likelihoods (no heatmap confidence)
+    import pandas as pd
+
+    preds = pd.read_csv(tmp_path / "predictions.csv", header=[0, 1, 2],
+                        index_col=0)
+    lik = preds.loc[
+        :, preds.columns.get_level_values("coords") == "likelihood"
+    ].to_numpy()
+    assert np.allclose(lik.astype(float), 1.0)
+
+    # the Model API round-trips the trained regression model
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(tmp_path)
+    out = m.predict_frame(np.zeros((406, 396, 3), dtype=np.uint8))
+    assert out["keypoints"].shape == (17, 2)
+
+
+@pytest.mark.slow
+def test_train_semisupervised_regression(cfg, tmp_path):
+    """Semi-supervised regression (temporal loss on the unlabeled stream,
+    no heatmap decode; reference regression_tracker.py:123-213)."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.model.model_type = "regression"
+    c.model.model_name = "semisup-regression-test"
+    c.model.losses_to_use = ["temporal"]
+    c.training.max_epochs = 1
+    c.training.min_epochs = 1
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path, skip_evaluation=True)
+
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    assert ckpt_path_from_base_path(
+        str(tmp_path), "semisup-regression-test"
+    ) is not None
