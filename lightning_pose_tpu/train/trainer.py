@@ -251,7 +251,10 @@ def make_step_fns(
                 targ_views = jax.lax.stop_gradient(
                     targ_frame.reshape(bsz, kpv, nk, 2)
                 )
-                kp_targ_3d = jnp.nanmean(
+                # nanmedian over camera pairs = the reference's
+                # camgroup.triangulate_fast target semantics
+                # (reference cameras.py:177, datasets.py:1013)
+                kp_targ_3d = jnp.nanmedian(
                     project_camera_pairs_to_3d(targ_views, intr, extr, dist),
                     axis=1,
                 )
