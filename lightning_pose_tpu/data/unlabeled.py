@@ -68,6 +68,14 @@ class UnlabeledDataModule(BaseDataModule):
                 f"sequence_length={seq_len}"
             )
         else:
+            # planar-I420 transfer halves the per-step host->device bytes
+            # on TPU (cfg.training.video_transfer_format: auto|rgb|yuv420);
+            # the train step converts on device (ops/yuv.py)
+            fmt = str(
+                cfg.training.get("video_transfer_format", "auto")
+            ).lower()
+            if fmt == "auto":
+                fmt = "yuv420" if jax.default_backend() == "tpu" else "rgb"
             video_files = check_video_paths(video_dir)
             self.unlabeled_loader = UnlabeledVideoLoader(
                 video_files=list(video_files),
@@ -76,6 +84,7 @@ class UnlabeledDataModule(BaseDataModule):
                 resize_width=int(cfg.data.image_resize_dims.width),
                 seed=seed,
                 shard_id=shard_id,
+                transfer_format=fmt,
             )
             logger.info(
                 f"unlabeled stream: {len(video_files)} video(s), "

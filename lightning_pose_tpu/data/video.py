@@ -433,6 +433,7 @@ class UnlabeledVideoLoader:
         shard_id: int = 0,
         prefetch_batches: int = 2,
         decode_threads: int | None = None,
+        transfer_format: str = "rgb",
     ):
         assert len(video_files) > 0, "no unlabeled videos found"
         self.video_files = [str(v) for v in video_files]
@@ -441,6 +442,11 @@ class UnlabeledVideoLoader:
         self.w = int(resize_width)
         self.seed = int(seed)
         self.shard_id = int(shard_id)
+        if transfer_format not in ("rgb", "yuv420"):
+            raise ValueError(f"unknown transfer_format {transfer_format!r}")
+        if transfer_format == "yuv420" and (self.h % 2 or self.w % 2):
+            raise ValueError("yuv420 transfer requires even resize dims")
+        self.transfer_format = transfer_format
         self.frame_counts = [count_frames(v) for v in self.video_files]
         n_workers = (
             decode_threads if decode_threads is not None
@@ -492,7 +498,12 @@ class UnlabeledVideoLoader:
             ),
             (self.seq_len, 1),
         )
-        return {"frames": np.stack(frames), "bbox": bbox}
+        stacked = np.stack(frames)
+        if self.transfer_format == "yuv420":
+            stacked = np.stack(
+                [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in stacked]
+            )
+        return {"frames": stacked, "bbox": bbox}
 
     def _produce(self, wid: int) -> None:
         decoders: dict[int, VideoFrameDecoder] = {}

@@ -425,9 +425,16 @@ def make_step_fns(
                     ul_frames = ul_frames.reshape(t_, v_, *ul_frames.shape[1:])
                     ul_transforms = ul_transforms[:t_]
                 else:
+                    ul_in = ul["frames"]
+                    if ul_in.ndim == 3:
+                        # planar I420 transfer (half the bytes); convert to
+                        # RGB on device before augmentation (ops/yuv.py)
+                        from lightning_pose_tpu.ops.yuv import i420_to_rgb
+
+                        ul_in = i420_to_rgb(ul_in)
                     ul_frames, ul_transforms = augment_video_sequence(
                         jax.random.fold_in(aug_rng, 1),
-                        ul["frames"],
+                        ul_in,
                         apply_geometric=augmenter.is_dlc,
                     )
                 ul_images = normalize_images(ul_frames)

@@ -137,3 +137,53 @@ def test_yuv_video_inference_keypoint_deviation(cfg, tmp_path):
     )
     assert np.nanmedian(dev) < 1.0
     assert np.nanquantile(dev, 0.95) < 3.0
+
+
+def test_unlabeled_loader_yuv420(toy_data_dir):
+    import os
+
+    from lightning_pose_tpu.data.video import UnlabeledVideoLoader
+    from lightning_pose_tpu.ops.yuv import i420_to_rgb
+
+    video = os.path.join(toy_data_dir, "videos", "test_vid.mp4")
+    rgb_loader = UnlabeledVideoLoader(
+        [video], sequence_length=4, resize_height=128, resize_width=128,
+        seed=7,
+    )
+    yuv_loader = UnlabeledVideoLoader(
+        [video], sequence_length=4, resize_height=128, resize_width=128,
+        seed=7, transfer_format="yuv420",
+    )
+    try:
+        rgb_batch = next(rgb_loader)
+        yuv_batch = next(yuv_loader)
+        # same seeded window
+        np.testing.assert_allclose(rgb_batch["bbox"], yuv_batch["bbox"])
+        assert yuv_batch["frames"].shape == (4, 192, 128)
+        back = np.asarray(i420_to_rgb(yuv_batch["frames"]))
+        assert (
+            np.abs(back - rgb_batch["frames"].astype(np.float32)).mean() < 3.0
+        )
+    finally:
+        rgb_loader.close()
+        yuv_loader.close()
+
+
+@pytest.mark.slow
+def test_train_semisupervised_yuv420_stream(cfg, tmp_path):
+    """Semi-supervised training with the I420 unlabeled stream end-to-end
+    (the train step converts 3-dim batches on device)."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.model.losses_to_use = ["temporal"]
+    c.model.model_name = "yuv-train"
+    c.training.max_epochs = 1
+    c.training.min_epochs = 1
+    c.training.video_transfer_format = "yuv420"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path, skip_evaluation=True)
+
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    assert ckpt_path_from_base_path(str(tmp_path), "yuv-train") is not None
