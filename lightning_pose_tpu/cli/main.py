@@ -22,7 +22,9 @@ def _configure_logging(verbose: bool = False) -> None:
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(
+    from lightning_pose_tpu.cli.friendly import ArgumentParser, ArgumentSubParser
+
+    parser = ArgumentParser(
         prog="litpose",
         description=(
             "lightning-pose-tpu: TPU-native animal pose estimation "
@@ -30,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     parser.add_argument("--verbose", action="store_true", help="debug logging")
-    subparsers = parser.add_subparsers(dest="command", required=True)
+    subparsers = parser.add_subparsers(
+        dest="command", required=True, parser_class=ArgumentSubParser
+    )
 
     from lightning_pose_tpu.cli import commands
 

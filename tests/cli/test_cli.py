@@ -211,3 +211,31 @@ def test_cli_type_validators(tmp_path):
     assert cli_types.existing_model_dir(str(tmp_path)) == tmp_path
     with pytest.raises(argparse.ArgumentTypeError, match="does not exist"):
         cli_types.existing_model_dir(str(tmp_path / "missing"))
+
+
+def test_friendly_parser_welcome_and_error(capsys):
+    """Top-level help shows the welcome banner; argument errors print the
+    full help before the error line (reference cli/friendly.py:9-47)."""
+    from lightning_pose_tpu.cli.main import build_parser
+
+    parser = build_parser()
+    with pytest.raises(SystemExit) as exc:
+        parser.parse_args(["--help"])
+    assert exc.value.code == 0
+    out = capsys.readouterr().out
+    assert "Welcome to lightning-pose-tpu" in out
+    assert "train" in out and "predict" in out
+
+    with pytest.raises(SystemExit) as exc:
+        parser.parse_args(["not-a-command"])
+    assert exc.value.code == 2
+    captured = capsys.readouterr()
+    # full help on stderr, then the error line
+    assert "usage:" in captured.err
+    assert "error:" in captured.err
+
+    # help text keeps paragraph structure via the formatter
+    with pytest.raises(SystemExit):
+        parser.parse_args(["predict", "--help"])
+    sub_out = capsys.readouterr().out
+    assert "Welcome" not in sub_out  # subcommands skip the banner
