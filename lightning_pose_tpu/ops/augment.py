@@ -547,13 +547,32 @@ class AugmentationEngine:
             dx = R(jnp.where(apply_mb, jnp.cos(mb_angle), 0.0))
             dy = R(jnp.where(apply_mb, jnp.sin(mb_angle), 0.0))
             half = (int(mb["k"]) - 1) / 2.0
+            # replicate-pad the blur at the image border (imgaug/cv2 use
+            # reflect borders — zero-outside taps would darken a k/2-pixel
+            # frame) while keeping zero-padding for coords the geometric
+            # warp mapped outside the image
+            cx = jnp.clip(coords[..., 0:1], 0.0, float(w - 1))
+            cy = jnp.clip(coords[..., 1:2], 0.0, float(h - 1))
+            clamped = jnp.concatenate([cx, cy], axis=-1)
+            in_bounds = (
+                (coords[..., 0:1] >= -0.5) & (coords[..., 0:1] <= w - 0.5)
+                & (coords[..., 1:2] >= -0.5) & (coords[..., 1:2] <= h - 0.5)
+            ).astype(images.dtype)
             taps = []
             tap = -half
             while tap <= half:
                 offset = jnp.stack([dx * tap, dy * tap], axis=-1)[:, None, None, :]
-                taps.append(grid_sample_bilinear(images, coords + offset))
+                tap_coords = clamped + offset
+                tap_coords = jnp.concatenate(
+                    [
+                        jnp.clip(tap_coords[..., 0:1], 0.0, float(w - 1)),
+                        jnp.clip(tap_coords[..., 1:2], 0.0, float(h - 1)),
+                    ],
+                    axis=-1,
+                )
+                taps.append(grid_sample_bilinear(images, tap_coords))
                 tap += 1.0
-            warped = sum(taps) / len(taps)
+            warped = (sum(taps) / len(taps)) * in_bounds
         else:
             warped = grid_sample_bilinear(images, coords)
 

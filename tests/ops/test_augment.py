@@ -221,3 +221,109 @@ def test_clahe_and_emboss_rng_streams_are_independent():
     assert gate_cl == 1, "CLAHE gate key reused for another draw"
     gate_em = src.count("keys[23]")
     assert gate_em == 1, "emboss gate key reused for another draw"
+
+
+# -- per-op semantics via single-op dict pipelines ----------------------------
+
+
+def _engine(spec_dict, h=64, w=64):
+    from lightning_pose_tpu.ops.augment import AugmentationEngine
+
+    return AugmentationEngine(spec_dict, image_height=h, image_width=w)
+
+
+def test_rot90_k2_maps_images_and_keypoints():
+    """k=2 (180 deg) flips both axes; keypoints map to (w-1-x, h-1-y)
+    (the reference's Rot90 in dlc-lr, augmentations.py:150-160)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    kps = rng.uniform(5, 58, (2, 4, 2)).astype(np.float32)
+    eng = _engine({"Rot90": {"p": 1.0, "kwargs": {"k": [2]}}})
+    out, kp_out = eng(jax.random.PRNGKey(0), images, kps)
+    np.testing.assert_allclose(
+        np.asarray(out), images[:, ::-1, ::-1], atol=1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(kp_out), np.stack(
+            [63.0 - kps[..., 0], 63.0 - kps[..., 1]], axis=-1
+        ), atol=0.51,
+    )
+
+
+def test_coarse_dropout_zeroes_blocks():
+    import jax
+
+    images = np.full((2, 64, 64, 3), 200.0, dtype=np.float32)
+    kps = np.zeros((2, 3, 2), dtype=np.float32)
+    eng = _engine({
+        "CoarseDropout": {
+            "p": 1.0,
+            "kwargs": {"p": 0.1, "size_percent": 0.25, "per_channel": 0.0},
+        }
+    })
+    out, _ = eng(jax.random.PRNGKey(1), images, kps)
+    arr = np.asarray(out)
+    vals = set(np.unique(arr))
+    assert vals <= {0.0, 200.0}
+    frac = (arr == 0).mean()
+    assert 0.01 < frac < 0.5  # blocks dropped, image not destroyed
+
+
+def test_coarse_salt_and_pepper_values():
+    import jax
+
+    images = np.full((2, 64, 64, 3), 100.0, dtype=np.float32)
+    kps = np.zeros((2, 3, 2), dtype=np.float32)
+    out_s, _ = _engine({
+        "CoarseSalt": {"p": 1.0, "kwargs": {"p": 0.05, "size_percent": 0.1}}
+    })(jax.random.PRNGKey(2), images, kps)
+    arr_s = np.asarray(out_s)
+    assert set(np.unique(arr_s)) <= {100.0, 255.0}
+    assert (arr_s == 255.0).any()
+
+    out_p, _ = _engine({
+        "CoarsePepper": {"p": 1.0, "kwargs": {"p": 0.05, "size_percent": 0.1}}
+    })(jax.random.PRNGKey(3), images, kps)
+    arr_p = np.asarray(out_p)
+    assert set(np.unique(arr_p)) <= {0.0, 100.0}
+    assert (arr_p == 0.0).any()
+
+
+import jax  # noqa: E402  (used by the per-op tests above)
+
+
+def test_motion_blur_preserves_mean_and_blurs():
+    """Motion blur is a normalized line kernel: constant regions unchanged,
+    a vertical edge spreads along the blur direction."""
+    images = np.full((1, 64, 64, 3), 120.0, dtype=np.float32)
+    kps = np.zeros((1, 2, 2), dtype=np.float32)
+    eng = _engine({
+        "MotionBlur": {"p": 1.0, "kwargs": {"k": 5, "angle": [90, 90]}}
+    })
+    out, _ = eng(jax.random.PRNGKey(4), images, kps)
+    np.testing.assert_allclose(np.asarray(out), 120.0, atol=1.0)
+
+    edge = np.zeros((1, 64, 64, 3), dtype=np.float32)
+    edge[:, :, 32:] = 255.0
+    out2, _ = eng(jax.random.PRNGKey(5), edge, kps)
+    arr = np.asarray(out2)
+    # intermediate values appear where the kernel straddles the edge
+    mid = ((arr > 10) & (arr < 245)).mean()
+    assert mid > 0.005
+
+
+def test_elastic_keypoints_follow_displacement():
+    """With alpha=0 elastic is identity for both image and keypoints."""
+    rng = np.random.default_rng(6)
+    images = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.float32)
+    kps = rng.uniform(10, 50, (1, 4, 2)).astype(np.float32)
+    eng = _engine({
+        "ElasticTransformation": {
+            "p": 1.0, "kwargs": {"alpha": [0.0, 0.0], "sigma": 5.0}
+        }
+    })
+    out, kp_out = eng(jax.random.PRNGKey(7), images, kps)
+    np.testing.assert_allclose(np.asarray(out), images, atol=1.0)
+    np.testing.assert_allclose(np.asarray(kp_out), kps, atol=0.1)
