@@ -327,3 +327,38 @@ def test_elastic_keypoints_follow_displacement():
     out, kp_out = eng(jax.random.PRNGKey(7), images, kps)
     np.testing.assert_allclose(np.asarray(out), images, atol=1.0)
     np.testing.assert_allclose(np.asarray(kp_out), kps, atol=0.1)
+
+
+@pytest.mark.parametrize(
+    "name,args",
+    [
+        ("Affine", {"p": 1.0, "kwargs": {"rotate": [20, 20]}}),
+        ("CropAndPad", {"p": 1.0, "kwargs": {"percent": [-0.12, -0.12]}}),
+        ("Rot90", {"p": 1.0, "kwargs": {"k": [1]}}),
+        ("Fliplr", {"p": 1.0}),
+        ("ElasticTransformation",
+         {"p": 1.0, "kwargs": {"alpha": [8.0, 8.0], "sigma": 5.0}}),
+    ],
+)
+def test_geometric_ops_keep_image_keypoint_consistency(name, args):
+    """A bright dot rendered at the keypoint must land (to within the
+    interpolation footprint) at the TRANSFORMED keypoint location for
+    every geometric op — image warp and keypoint math share one
+    transform."""
+    h = w = 96
+    kp = np.array([[[60.0, 40.0]]], dtype=np.float32)
+    images = np.zeros((1, h, w, 3), dtype=np.float32)
+    y0, x0 = int(kp[0, 0, 1]), int(kp[0, 0, 0])
+    images[0, y0 - 1:y0 + 2, x0 - 1:x0 + 2, :] = 255.0
+
+    eng = _engine({name: args}, h=h, w=w)
+    out, kp_out = eng(jax.random.PRNGKey(11), images, kp)
+    out = np.asarray(out)[0, :, :, 0]
+    kp_new = np.asarray(kp_out)[0, 0]
+    assert np.isfinite(kp_new).all(), f"{name}: keypoint lost"
+
+    peak_y, peak_x = np.unravel_index(np.argmax(out), out.shape)
+    dist = np.hypot(peak_x - kp_new[0], peak_y - kp_new[1])
+    assert dist <= 2.5, (
+        f"{name}: dot at ({peak_x}, {peak_y}) but keypoint at {kp_new}"
+    )
