@@ -168,6 +168,28 @@ class Model:
         is_context = meta["model_type"] == "heatmap_mhcrnn"
         num_views = int(meta.get("num_views", 1) or 1)
 
+        # decode dispatch: reference-parity soft-argmax (default) or the
+        # opt-in DARK Taylor-expansion decoder (ops/dark.py)
+        decode_method = str(
+            cfg.eval.get("decode_method", "softargmax")
+        ).lower()
+        if decode_method not in ("softargmax", "dark"):
+            raise ValueError(
+                f"cfg.eval.decode_method must be softargmax|dark, got "
+                f"{decode_method!r}"
+            )
+        if decode_method == "dark":
+            from lightning_pose_tpu.ops.dark import run_dark_decode
+
+            df = int(cfg.data.get("downsample_factor", 2))
+
+            def decode_fn(hms):
+                return run_dark_decode(hms, downsample_factor=df)
+        else:
+
+            def decode_fn(hms):
+                return module.decode(hms, fast=True)
+
         def predict_step(state, images_uint8, bbox):
             # fused Pallas uint8 -> normalized compute-dtype pass on TPU;
             # XLA normalize elsewhere (numerically equal up to dtype rounding).
@@ -195,14 +217,14 @@ class Model:
                 if images.ndim == 4:
                     images = make_context_windows(images)
                 hm_sf, hm_mf = module.apply(vs, images, train=False)
-                kp_sf, conf_sf = module.decode(hm_sf, fast=True)
-                kp_mf, conf_mf = module.decode(hm_mf, fast=True)
+                kp_sf, conf_sf = decode_fn(hm_sf)
+                kp_mf, conf_mf = decode_fn(hm_mf)
                 preds, confs = merge_heads_by_confidence(
                     kp_sf, conf_sf, kp_mf, conf_mf
                 )
             elif is_heatmap:
                 heatmaps = module.apply(vs, images, train=False)
-                preds, confs = module.decode(heatmaps, fast=True)
+                preds, confs = decode_fn(heatmaps)
             else:
                 preds = module.apply(vs, images, train=False)
                 confs = jnp.ones((preds.shape[0], preds.shape[1] // 2))
