@@ -239,3 +239,38 @@ def test_friendly_parser_welcome_and_error(capsys):
         parser.parse_args(["predict", "--help"])
     sub_out = capsys.readouterr().out
     assert "Welcome" not in sub_out  # subcommands skip the banner
+
+
+def test_train_detector_model_redirect(cfg, tmp_path, monkeypatch):
+    """--detector_model redirects data paths to the detector's cropped
+    outputs before training (reference cli/commands/train.py:97-114)."""
+    import lightning_pose_tpu.train as train_mod
+    from lightning_pose_tpu.cli.main import main
+
+    config_file = tmp_path / "config.yaml"
+    c = cfg.copy()
+    c.data.csv_file = "CollectedData.csv"
+    c.save(str(config_file))
+
+    captured = {}
+
+    def fake_train(cfg_in, model_dir=None, **kwargs):
+        captured["cfg"] = cfg_in
+        return None
+
+    monkeypatch.setattr(train_mod, "train", fake_train)
+
+    detector_dir = tmp_path / "detector"
+    rc = main([
+        "train", str(config_file),
+        "--detector_model", str(detector_dir),
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    got = captured["cfg"]
+    assert got.data.data_dir == str(detector_dir / "cropped_images")
+    assert got.data.video_dir == str(detector_dir / "cropped_videos")
+    assert got.data.csv_file == str(
+        detector_dir / "image_preds" / "CollectedData.csv"
+        / "cropped_CollectedData.csv"
+    )
