@@ -17,6 +17,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -157,8 +158,13 @@ def bench_raw() -> dict:
     return {"fps": n_frames / elapsed, "frames": n_frames, "sec": elapsed}
 
 
-def main() -> None:
-    raw_mode = "--raw" in sys.argv
+def _run_measurement(raw_mode: bool) -> None:
+    # persistent compilation cache: repeat invocations (and the retry
+    # attempt) skip the ~40 s XLA compile
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if raw_mode:
         r = bench_raw()
         metric = "video_inference_fps_per_chip_resnet50_heatmap"
@@ -172,6 +178,55 @@ def main() -> None:
                 "value": round(r["fps"], 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
+            }
+        )
+    )
+
+
+def main() -> None:
+    """Watchdog wrapper: the remote-TPU tunnel occasionally hangs a single
+    RPC for minutes; a hung measurement would otherwise eat the whole
+    benchmark budget. Run the measurement in a subprocess with a timeout
+    and retry once on a hang/failure before reporting."""
+    import subprocess
+
+    raw_mode = "--raw" in sys.argv
+    if "--child" in sys.argv:
+        _run_measurement(raw_mode)
+        return
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+    if raw_mode:
+        cmd.append("--raw")
+    last_err = ""
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=600
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt + 1}: timed out (tunnel hang?)"
+            print(last_err, file=sys.stderr)
+            continue
+        json_lines = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if proc.returncode == 0 and json_lines:
+            print(json_lines[-1])
+            return
+        last_err = (
+            f"attempt {attempt + 1}: rc={proc.returncode} "
+            f"{proc.stderr[-500:]}"
+        )
+        print(last_err, file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "video_inference_fps_product_path_resnet50_heatmap",
+                "value": 0.0,
+                "unit": "frames/sec",
+                "vs_baseline": 0.0,
+                "error": f"benchmark failed twice: {last_err[-300:]}",
             }
         )
     )
