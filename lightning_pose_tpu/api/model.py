@@ -203,6 +203,15 @@ class Model:
                 images = i420_to_normalized_rgb(
                     images_uint8, out_dtype=compute_dtype
                 )
+            elif num_views > 1 and images_uint8.ndim == 4:
+                # multiview I420: (T, V, H*3/2, W) -> (T, V, H, W, 3)
+                from lightning_pose_tpu.ops.yuv import i420_to_normalized_rgb
+
+                t_, v_ = images_uint8.shape[0], images_uint8.shape[1]
+                flat = images_uint8.reshape(t_ * v_, *images_uint8.shape[2:])
+                images = i420_to_normalized_rgb(
+                    flat, out_dtype=compute_dtype
+                ).reshape(t_, v_, -1, images_uint8.shape[3], 3)
             else:
                 images = normalize_images_fused(
                     images_uint8, out_dtype=compute_dtype
@@ -414,6 +423,7 @@ class Model:
             model_dir=str(self.model_dir),
             generate_labeled_video=generate_labeled_video,
             compute_metrics=compute_metrics,
+            transfer_format=self._video_transfer_format(),
         )
 
     def predict_on_label_csv_multiview(

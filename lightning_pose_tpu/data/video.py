@@ -390,10 +390,14 @@ class MultiviewPredictVideoLoader:
         sequence_length: int,
         resize_height: int,
         resize_width: int,
+        transfer_format: str = "rgb",
     ):
         self.video_files = [str(v) for v in video_files]
         self.loaders = [
-            PredictVideoLoader(v, sequence_length, resize_height, resize_width)
+            PredictVideoLoader(
+                v, sequence_length, resize_height, resize_width,
+                transfer_format=transfer_format,
+            )
             for v in self.video_files
         ]
         counts = [ld.frame_count for ld in self.loaders]
@@ -410,7 +414,8 @@ class MultiviewPredictVideoLoader:
 
     def __iter__(self):
         for windows in zip(*self.loaders):
-            yield np.stack(windows, axis=1)  # (T, V, H, W, 3)
+            # (T, V, H, W, 3) rgb or (T, V, H*3/2, W) planar I420
+            yield np.stack(windows, axis=1)
 
 
 class UnlabeledVideoLoader:

@@ -171,6 +171,7 @@ def predict_video_multiview(
     model_dir: str,
     generate_labeled_video: bool = False,
     compute_metrics: bool = True,
+    transfer_format: str = "rgb",
 ):
     """Frame-synchronized multiview video inference: one CSV per view
     (reference api/model.py:1225 ``predict_on_video_file_multiview``).
@@ -189,6 +190,7 @@ def predict_video_multiview(
         sequence_length=seq_len,
         resize_height=height,
         resize_width=width,
+        transfer_format=transfer_format,
     )
     # per-view full-frame bboxes, (T, V*4)
     bbox_cols = []

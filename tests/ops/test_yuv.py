@@ -187,3 +187,73 @@ def test_train_semisupervised_yuv420_stream(cfg, tmp_path):
     from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
 
     assert ckpt_path_from_base_path(str(tmp_path), "yuv-train") is not None
+
+
+@pytest.mark.slow
+def test_multiview_video_predict_yuv420(cfg, mv_data_dir, tmp_path):
+    """Multiview video prediction through the I420 transfer path: same
+    CSVs/shapes as rgb, keypoints close on a shared random-init model."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+    from pathlib import Path
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.video_dir = f"{mv_data_dir}/videos"
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.view_names = ["top", "bot"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = [
+        "paw1LH", "paw2LF", "paw3RF", "paw4RH", "tailBase", "tailMid", "nose",
+    ]
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.model.model_type = "heatmap_multiview"
+    c.model.backbone = "vits_dino"
+    c.model.model_name = "mv-yuv"
+    c.dali.base.predict.sequence_length = 8
+
+    module, _ = get_model(c, num_keypoints=7)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 128, 128, 3)), train=False
+    )
+    model_dir = tmp_path / "m"
+    vdir = ckpt_utils.next_version_dir(str(model_dir), "mv-yuv")
+    cdir = ckpt_utils.checkpoint_dir(vdir)
+    ckpt_utils.save_checkpoint(
+        f"{cdir}/epoch=0-step=0-best.ckpt",
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=0, epoch=0,
+    )
+    ckpt_utils.wait_for_saves()
+    c.save(str(model_dir / "config.yaml"))
+
+    videos = sorted(Path(mv_data_dir, "videos").glob("test_vid_*.mp4"))
+    top = [v for v in videos if v.stem.endswith("_top")][0]
+    bot = [v for v in videos if v.stem.endswith("_bot")][0]
+
+    m = Model.from_dir(model_dir)
+    m.cfg.eval.video_transfer_format = "rgb"
+    rgb = m.predict_on_video_file_multiview(
+        [str(top), str(bot)], compute_metrics=False
+    ).predictions
+    m.cfg.eval.video_transfer_format = "yuv420"
+    yuv = m.predict_on_video_file_multiview(
+        [str(top), str(bot)], compute_metrics=False
+    ).predictions
+
+    for view in ("top", "bot"):
+        assert len(yuv[view]) == 60
+        coords = rgb[view].columns.get_level_values("coords").isin(["x", "y"])
+        dev = np.abs(
+            rgb[view].loc[:, coords].to_numpy()
+            - yuv[view].loc[:, coords].to_numpy()
+        )
+        # random-init heatmaps are near-flat; soft-argmax stays near the
+        # map centroid, so the two transfer paths agree loosely
+        assert np.nanmedian(dev) < 5.0
