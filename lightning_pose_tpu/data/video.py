@@ -161,12 +161,13 @@ class PredictVideoLoader:
         return int(np.ceil(self.frame_count / self.seq_len))
 
     def _finalize(self, rgb_batch: np.ndarray) -> np.ndarray:
-        """Apply the transfer format: passthrough RGB or per-frame I420."""
+        """Apply the transfer format: passthrough RGB or batched I420
+        (native worker-pool conversion, cv2 fallback)."""
         if self.transfer_format == "rgb":
             return rgb_batch
-        return np.stack(
-            [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in rgb_batch]
-        )
+        from lightning_pose_tpu import native
+
+        return native.batch_rgb_to_i420(rgb_batch)
 
     def _convert(self, raw_frames: list[np.ndarray], start_idx: int) -> np.ndarray:
         """Raw BGR native-res frames -> (T, h, w, 3) RGB uint8 batch (fused
@@ -505,9 +506,9 @@ class UnlabeledVideoLoader:
         )
         stacked = np.stack(frames)
         if self.transfer_format == "yuv420":
-            stacked = np.stack(
-                [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in stacked]
-            )
+            from lightning_pose_tpu import native
+
+            stacked = native.batch_rgb_to_i420(stacked)
         return {"frames": stacked, "bbox": bbox}
 
     def _produce(self, wid: int) -> None:

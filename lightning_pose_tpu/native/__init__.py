@@ -19,7 +19,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["get_lib", "batch_resize_rgb", "available", "num_worker_threads"]
+__all__ = ["get_lib", "batch_resize_rgb", "batch_rgb_to_i420", "available", "num_worker_threads"]
 
 _LIB = None
 _LIB_LOCK = threading.Lock()
@@ -67,6 +67,10 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int,
             ]
+            lib.batch_rgb_to_i420.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
             _LIB = lib
             return lib
         except OSError as e:
@@ -112,6 +116,30 @@ def batch_resize_rgb(
         frames.ctypes.data, n, src_h, src_w,
         out.ctypes.data, dst_h, dst_w,
         1 if swap_rb else 0,
+        num_threads or num_worker_threads(),
+    )
+    return out
+
+
+def batch_rgb_to_i420(
+    frames: np.ndarray, num_threads: int | None = None
+) -> np.ndarray:
+    """RGB (N, H, W, 3) uint8 -> planar I420 (N, H*3/2, W) uint8, BT.601
+    video range with cv2's top-left-of-2x2 chroma subsampling. Falls back
+    to per-frame cv2.cvtColor when the native library is unavailable."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    assert h % 2 == 0 and w % 2 == 0, "I420 requires even dims"
+    lib = get_lib()
+    if lib is None:
+        import cv2
+
+        return np.stack(
+            [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames]
+        )
+    out = np.empty((n, h * 3 // 2, w), dtype=np.uint8)
+    lib.batch_rgb_to_i420(
+        frames.ctypes.data, n, h, w, out.ctypes.data,
         num_threads or num_worker_threads(),
     )
     return out

@@ -9,7 +9,7 @@ from lightning_pose_tpu import native
 def test_native_builds_and_loads():
     assert native.available(), "native frame-ops library failed to build"
     lib = native.get_lib()
-    assert lib.frame_ops_version() == 1
+    assert lib.frame_ops_version() >= 2
 
 
 def test_batch_resize_matches_cv2(rng):
@@ -48,3 +48,25 @@ def test_crop_resize(rng):
     np.testing.assert_array_equal(out[0], frames[0, 10:30, 10:30])
     # out-of-bounds region zero-padded top-left
     assert (out[1, :4, :4] == 0).all()
+
+
+def test_batch_rgb_to_i420_matches_cv2():
+    """Native I420 conversion matches cv2.COLOR_RGB2YUV_I420 to rounding
+    (+-2) including the top-left-of-2x2 chroma subsampling."""
+    import cv2
+
+    from lightning_pose_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, 32, 48, 3), dtype=np.uint8)
+    ours = native.batch_rgb_to_i420(frames)
+    golden = np.stack(
+        [cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames]
+    )
+    assert ours.shape == golden.shape == (3, 48, 48)
+    diff = np.abs(ours.astype(int) - golden.astype(int))
+    assert diff.max() <= 2
