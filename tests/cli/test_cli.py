@@ -274,3 +274,58 @@ def test_train_detector_model_redirect(cfg, tmp_path, monkeypatch):
         detector_dir / "image_preds" / "CollectedData.csv"
         / "cropped_CollectedData.csv"
     )
+
+
+@pytest.mark.slow
+def test_cli_predict_multiview_dir_dispatch(cfg, mv_data_dir, tmp_path):
+    """`litpose predict <mv_model> <videos_dir>` groups per-view videos by
+    session and writes one CSV per view (reference multiview dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.cli.main import main
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.video_dir = f"{mv_data_dir}/videos"
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.view_names = ["top", "bot"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = [
+        "paw1LH", "paw2LF", "paw3RF", "paw4RH", "tailBase", "tailMid", "nose",
+    ]
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.model.model_type = "heatmap_multiview"
+    c.model.backbone = "vits_dino"
+    c.model.model_name = "cli-mv"
+    c.dali.base.predict.sequence_length = 8
+
+    module, _ = get_model(c, num_keypoints=7)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 128, 128, 3)), train=False
+    )
+    model_dir = tmp_path / "mv_model"
+    vdir = ckpt_utils.next_version_dir(str(model_dir), "cli-mv")
+    cdir = ckpt_utils.checkpoint_dir(vdir)
+    ckpt_utils.save_checkpoint(
+        f"{cdir}/epoch=0-step=0-best.ckpt",
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=0, epoch=0,
+    )
+    ckpt_utils.wait_for_saves()
+    c.save(str(model_dir / "config.yaml"))
+
+    rc = main([
+        "predict", str(model_dir), f"{mv_data_dir}/videos", "--skip_viz",
+    ])
+    assert rc == 0
+    preds = sorted((model_dir / "video_preds").glob("*.csv"))
+    stems = {p.stem for p in preds if "_error" not in p.stem
+             and "temporal" not in p.stem}
+    # one CSV per view per session
+    assert any(s.endswith("_top") for s in stems)
+    assert any(s.endswith("_bot") for s in stems)
