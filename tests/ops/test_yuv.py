@@ -257,3 +257,45 @@ def test_multiview_video_predict_yuv420(cfg, mv_data_dir, tmp_path):
         # random-init heatmaps are near-flat; soft-argmax stays near the
         # map centroid, so the two transfer paths agree loosely
         assert np.nanmedian(dev) < 5.0
+
+
+def test_exported_runtime_forces_rgb_transfer(cfg, tmp_path):
+    """Exported XLA programs have fixed RGB input shapes; video prediction
+    must fall back to rgb transfer even when cfg requests yuv420."""
+    import jax
+    import jax.numpy as jnp
+    from pathlib import Path
+
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+
+    c = cfg.copy()
+    c.model.model_name = "yuv-exported"
+    c.dali.base.predict.sequence_length = 16
+    c.eval.video_transfer_format = "yuv420"
+    module, _ = get_model(c)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+    )
+    model_dir = tmp_path / "m"
+    vdir = ckpt_utils.next_version_dir(str(model_dir), "yuv-exported")
+    cdir = ckpt_utils.checkpoint_dir(vdir)
+    ckpt_utils.save_checkpoint(
+        f"{cdir}/epoch=0-step=0-best.ckpt",
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=0, epoch=0,
+    )
+    ckpt_utils.wait_for_saves()
+    c.save(str(model_dir / "config.yaml"))
+
+    m = Model.from_dir(model_dir)
+    assert m._video_transfer_format() == "yuv420"
+    m.export()
+    m.use_exported_runtime()
+    assert m._video_transfer_format() == "rgb"
+    video = str(Path(cfg.data.video_dir) / "test_vid.mp4")
+    res = m.predict_on_video_file(video, compute_metrics=False,
+                                  output_dir=tmp_path / "out")
+    assert len(res.predictions) == 994
