@@ -95,3 +95,27 @@ def test_evaluate_heatmaps_on_generated_gaussian():
     conf = np.asarray(evaluate_heatmaps_at_location(hms, locs))
     # a sigma=1.25 gaussian holds ~92% of its mass in a 5x5 window
     assert conf[0, 0] > 0.9
+
+
+def test_generate_heatmaps_rectangular_output():
+    """Non-square image/heatmap dims scale each axis independently
+    (reference tests/data/test_heatmaps.py:96 'weird shape')."""
+    kps = np.array([[[100.0, 50.0]]], dtype=np.float32)  # (x, y) in 256x128-w
+    hms = np.asarray(
+        generate_heatmaps(kps, height=256, width=128, output_shape=(64, 32))
+    )
+    assert hms.shape == (1, 64, 32, 1)
+    peak = np.unravel_index(np.argmax(hms[0, :, :, 0]), (64, 32))
+    # x scales by 32/128, y by 64/256
+    assert abs(peak[1] - 100.0 * 32 / 128) <= 1
+    assert abs(peak[0] - 50.0 * 64 / 256) <= 1
+    assert hms.sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_evaluate_heatmaps_rectangular():
+    hm = np.zeros((1, 64, 32, 1), dtype=np.float32)
+    hm[0, 12, 25, 0] = 1.0
+    conf = np.asarray(
+        evaluate_heatmaps_at_location(hm, np.array([[[25.0, 12.0]]], np.float32))
+    )
+    assert conf[0, 0] == pytest.approx(1.0, abs=1e-6)
