@@ -61,3 +61,27 @@ def test_upsample2x_preserves_mass_in_interior():
     up = np.asarray(upsample2x(g))
     assert up.shape == (1, 32, 32, 1)
     assert up.sum() == pytest.approx(4.0, rel=0.02)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("out_hw", [(16, 16), (32, 16), (24, 40)])
+def test_bicubic_resize_matches_torch(align_corners, out_hw):
+    """ops/interpolate.bicubic_resize_2d is torch-exact (a=-0.75 cubic,
+    no antialias) for upsampling, including rectangular outputs."""
+    import torch
+    import torch.nn.functional as F
+
+    from lightning_pose_tpu.ops.interpolate import bicubic_resize_2d
+
+    rng = np.random.default_rng(2)
+    x = rng.random((2, 8, 8, 3)).astype(np.float32)
+    ours = np.asarray(bicubic_resize_2d(x, out_hw, align_corners=align_corners))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=out_hw, mode="bicubic", align_corners=align_corners,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
