@@ -44,7 +44,13 @@ def default_decode_threads() -> int:
     min(4, cores-1) — 1 on small hosts, 4 on real TPU-VMs."""
     env = os.environ.get("LP_TPU_DECODE_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            logger.warning(
+                "ignoring malformed LP_TPU_DECODE_THREADS=%r "
+                "(expected an integer)", env,
+            )
     return max(1, min(4, (os.cpu_count() or 1) - 1))
 
 __all__ = [
@@ -463,6 +469,7 @@ class UnlabeledVideoLoader:
         self._stop = threading.Event()
         self._cond = threading.Condition()
         self._results: dict[int, dict] = {}
+        self._errors: list[BaseException] = []
         self._next_emit = 0
         self._threads = [
             threading.Thread(target=self._produce, args=(wid,), daemon=True)
@@ -535,6 +542,10 @@ class UnlabeledVideoLoader:
                     self._results[k] = batch
                     self._cond.notify_all()
                 k += self._n_workers
+        except BaseException as exc:  # surface worker death to the consumer
+            with self._cond:
+                self._errors.append(exc)
+                self._cond.notify_all()
         finally:
             for d in decoders.values():
                 d.close()
@@ -542,8 +553,18 @@ class UnlabeledVideoLoader:
     def __next__(self) -> dict:
         with self._cond:
             k = self._next_emit
-            while k not in self._results and not self._stop.is_set():
+            while (
+                k not in self._results
+                and not self._errors
+                and not self._stop.is_set()
+            ):
                 self._cond.wait(timeout=0.5)
+            if self._errors:
+                self._stop.set()
+                self._cond.notify_all()
+                raise RuntimeError(
+                    "unlabeled-video decode worker failed"
+                ) from self._errors[0]
             if self._stop.is_set() and k not in self._results:
                 raise StopIteration
             batch = self._results.pop(k)

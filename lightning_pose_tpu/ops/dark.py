@@ -103,7 +103,12 @@ def run_dark_decode(
     )
 
     det = dxx * dyy - dxy * dxy
-    safe = jnp.abs(det) > _EPS
+    # Taylor offset only applies when the 3x3 stencil is centered on the
+    # true peak; at border peaks (stencil clamped inward) keep the raw
+    # argmax coordinate with zero offset, matching the reference
+    # DARK/mmpose decoders.
+    interior = (py >= 1) & (py <= h - 2) & (px >= 1) & (px <= w - 2)
+    safe = (jnp.abs(det) > _EPS) & interior
     det = jnp.where(safe, det, 1.0)
     # -H^{-1} grad, closed form for the 2x2 Hessian
     off_x = -(dyy * dx - dxy * dy) / det
@@ -111,9 +116,8 @@ def run_dark_decode(
     off_x = jnp.where(safe, jnp.clip(off_x, -1.0, 1.0), 0.0)
     off_y = jnp.where(safe, jnp.clip(off_y, -1.0, 1.0), 0.0)
 
-    # stencil was clamped to the interior; use the clamped center
-    cy = ys[..., 1].astype(jnp.float32)
-    cx = xs[..., 1].astype(jnp.float32)
+    cy = py.astype(jnp.float32)
+    cx = px.astype(jnp.float32)
     coords_hm = jnp.stack([cx + off_x, cy + off_y], axis=-1)  # (B, K, 2)
 
     # confidence: normalized-map mass in the window around the peak (the

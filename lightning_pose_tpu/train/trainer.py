@@ -615,6 +615,28 @@ class TrainedModel:
         self.data_module = data_module
 
 
+def run_validation_epoch(batches, eval_logs_fn) -> dict[str, float]:
+    """Sample-weighted epoch validation metrics.
+
+    Each batch's per-batch-mean logs are weighted by its real-sample count
+    (the ``valid`` mask sum) so a partial final batch doesn't skew the
+    epoch metric — every sample counts equally, matching the semantics of
+    a single mean over the whole validation set.
+    """
+    logs_sum: dict[str, float] = {}
+    n_total = 0
+    for batch in batches:
+        if "valid" in batch:
+            n_real = int(np.sum(batch["valid"]))
+        else:
+            n_real = len(next(iter(batch.values())))
+        logs = eval_logs_fn(batch)
+        for k, v in logs.items():
+            logs_sum[k] = logs_sum.get(k, 0.0) + float(v) * n_real
+        n_total += n_real
+    return {k: v / max(n_total, 1) for k, v in logs_sum.items()}
+
+
 def _write_status(path: Path, status: str, **extra) -> None:
     contents = {"status": status, **extra}
     tmp = str(path) + ".tmp"
@@ -957,15 +979,10 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         progress.update(epoch)
         run_val = ((epoch + 1) % check_val_every == 0) or (epoch == max_epochs - 1)
         if run_val and len(data_module.val_dataset) > 0:
-            val_logs_sum: dict[str, float] = {}
-            n_val = 0
-            for batch in data_module.val_batches():
-                device_batch = shard_batch(mesh, batch)
-                logs, _, _ = eval_step(state, device_batch, stage="val")
-                for k, v in logs.items():
-                    val_logs_sum[k] = val_logs_sum.get(k, 0.0) + float(v)
-                n_val += 1
-            val_logs = {k: v / max(n_val, 1) for k, v in val_logs_sum.items()}
+            val_logs = run_validation_epoch(
+                data_module.val_batches(),
+                lambda b: eval_step(state, shard_batch(mesh, b), stage="val")[0],
+            )
             if writer is not None:
                 for k, v in val_logs.items():
                     writer.add_scalar(k, v, global_step)

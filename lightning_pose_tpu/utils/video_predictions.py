@@ -108,9 +108,14 @@ def predict_video(
     for i, batch in enumerate(loader):
         kp, conf = predict_fn(state, batch, batch_bbox(i))
         device_preds.append((kp, conf))
-        if progress is not None:  # per-batch App progress (dispatch-time)
+    # progress steps at materialization (np.asarray blocks until the device
+    # result is real), so the app-facing file tracks actual completion, not
+    # async dispatch
+    preds = []
+    for kp, conf in device_preds:
+        preds.append((np.asarray(kp), np.asarray(conf)))
+        if progress is not None:
             progress.step()
-    preds = [(np.asarray(kp), np.asarray(conf)) for kp, conf in device_preds]
     elapsed = time.time() - t0
     fps = loader.frame_count / max(elapsed, 1e-9)
     logger.info(

@@ -156,6 +156,40 @@ def test_unlabeled_loader_shard_id_decorrelates(video_file):
         loader1.close()
 
 
+def test_unlabeled_loader_worker_error_propagates(video_file, monkeypatch):
+    """A dying decode worker must raise in the consumer, not hang
+    __next__ forever (the workers are daemon threads; without error
+    propagation semi-supervised training would spin silently)."""
+    from lightning_pose_tpu.data import video as video_mod
+
+    def boom(self, decoder, start):
+        raise OSError("simulated decoder failure")
+
+    monkeypatch.setattr(video_mod.UnlabeledVideoLoader, "_decode_window", boom)
+    loader = UnlabeledVideoLoader(
+        [video_file], sequence_length=4, resize_height=32, resize_width=32,
+        seed=3, decode_threads=2,
+    )
+    try:
+        with pytest.raises(RuntimeError, match="decode worker failed"):
+            next(loader)
+    finally:
+        loader.close()
+
+
+def test_default_decode_threads_malformed_env(monkeypatch):
+    """Malformed LP_TPU_DECODE_THREADS falls back to the computed default
+    with a warning instead of raising deep inside loader construction."""
+    from lightning_pose_tpu.data.video import default_decode_threads
+
+    monkeypatch.setenv("LP_TPU_DECODE_THREADS", "four")
+    assert default_decode_threads() >= 1
+    monkeypatch.setenv("LP_TPU_DECODE_THREADS", "1,2")
+    assert default_decode_threads() >= 1
+    monkeypatch.setenv("LP_TPU_DECODE_THREADS", "3")
+    assert default_decode_threads() == 3
+
+
 def test_multiview_unlabeled_loader_parallel_views(mv_data_dir, monkeypatch):
     """Per-view concurrent decode yields the same frame-synchronized
     windows as serial view iteration."""

@@ -59,6 +59,25 @@ def test_dark_decode_edge_peak():
     assert p[0] < 12 and p[1] < 12  # near the corner in image coords
 
 
+def test_dark_decode_border_peak_unbiased():
+    """A peak ON the heatmap border decodes to the argmax coordinate with
+    zero Taylor offset (the reference DARK/mmpose behavior) — not shifted
+    inward by the clamped stencil (a 2^df-px image-space bias)."""
+    hms = np.zeros((1, 32, 32, 2), dtype=np.float32)
+    # channel 0: peak at row 0 (top border), interior column
+    hms[0, 0, 10, 0] = 1.0
+    hms[0, 1, 10, 0] = 0.4
+    # channel 1: interior peak for contrast
+    hms[0, 16, 16, 1] = 1.0
+    preds, _ = run_dark_decode(hms, downsample_factor=2)
+    p = np.asarray(preds).reshape(2, 2)
+    # border peak: y must be the true argmax row 0 (scaled), not row 1
+    assert p[0, 1] == pytest.approx(0.0, abs=1e-5)
+    assert abs(p[0, 0] - 10 * 4) < 4.0  # x near the argmax column
+    # interior peak decodes near its location with sub-pixel offset allowed
+    assert abs(p[1, 0] - 64) < 4.0 and abs(p[1, 1] - 64) < 4.0
+
+
 def test_model_decode_method_config(cfg, tmp_path):
     """cfg.eval.decode_method=dark routes Model predictions through the
     DARK decoder."""

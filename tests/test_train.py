@@ -442,6 +442,30 @@ def test_milestone_steps_round_up(cfg):
     assert float(head_sched(200)) == pytest.approx(base * 0.5)
 
 
+def test_run_validation_epoch_sample_weighted():
+    """A partial final val batch must not skew the epoch metric: per-batch
+    means are weighted by real-sample counts (the sample mean, not the
+    batch mean-of-means)."""
+    from lightning_pose_tpu.train.trainer import run_validation_epoch
+
+    # batch 1: 4 real samples, per-sample loss 1.0; batch 2: 1 real sample
+    # (3 pad rows), per-sample loss 6.0. Sample mean = (4*1 + 1*6)/5 = 2.0;
+    # a naive mean-of-batch-means would give (1+6)/2 = 3.5.
+    batches = [
+        {"valid": np.array([True] * 4), "x": np.zeros(4)},
+        {"valid": np.array([True, False, False, False]), "x": np.zeros(4)},
+    ]
+    losses = iter([{"val_supervised_loss": 1.0}, {"val_supervised_loss": 6.0}])
+    logs = run_validation_epoch(batches, lambda b: next(losses))
+    assert logs["val_supervised_loss"] == pytest.approx(2.0)
+
+    # no 'valid' mask -> weight by batch length
+    batches = [{"x": np.zeros(2)}, {"x": np.zeros(1)}]
+    losses = iter([{"m": 3.0}, {"m": 9.0}])
+    logs = run_validation_epoch(batches, lambda b: next(losses))
+    assert logs["m"] == pytest.approx((2 * 3.0 + 1 * 9.0) / 3)
+
+
 def test_eval_batches_nan_padded_labels(cfg, toy_data_dir):
     """Padded eval rows carry NaN labels so pixel-RMSE ignores them."""
     from lightning_pose_tpu.data.datamodules import collate_batch
