@@ -225,6 +225,173 @@ def test_apply_3d_transforms_insufficient_keypoints_skips(rng):
     assert np.isnan(out[0, 2:5]).all()
 
 
+def test_apply_3d_transforms_matches_cv2_golden(rng):
+    """Numeric golden: triangulate -> scale about centroid -> reproject must
+    match cv2.projectPoints exactly (reference apply_3d_transforms
+    semantics, reference datasets.py:825-1120; cv2 is the independent
+    implementation)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(6, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 12, 2).astype(np.float32)
+    images = rng.uniform(0, 255, size=(1, 2, 32, 32, 3)).astype(np.float32)
+
+    s = 1.25
+    out_img, out_kp = apply_3d_transforms(
+        jax.random.PRNGKey(5),
+        jnp.asarray(images),
+        jnp.asarray(kp_frame),
+        jnp.asarray(intr[None]),
+        jnp.asarray(extr[None]),
+        jnp.asarray(dist[None]),
+        scale_range=(s, s),
+        translate_range=0.0,
+        apply_prob=1.0,
+    )
+
+    # expected: exact projections triangulate back to pts3d; scale about the
+    # 3D centroid; reproject through cv2 (Rodrigues + projectPoints)
+    centroid = pts3d.mean(axis=0, keepdims=True)
+    pts3d_new = (pts3d - centroid) * s + centroid
+    expected = []
+    for v in range(2):
+        rvec, _ = cv2.Rodrigues(extr[v][:, :3])
+        proj, _ = cv2.projectPoints(
+            pts3d_new.astype(np.float64), rvec, extr[v][:, 3].astype(np.float64),
+            intr[v].astype(np.float64), dist[v].astype(np.float64),
+        )
+        expected.append(proj.reshape(6, 2))
+    expected = np.concatenate(expected, axis=0)  # (12, 2) view-major
+    np.testing.assert_allclose(np.asarray(out_kp)[0], expected, atol=0.05)
+
+
+def test_apply_3d_transforms_scaling_effect_monotonic(rng):
+    """Larger scale perturbations move keypoints further (reference
+    TestApply3DTransforms.test_scaling_effect)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 10, 2).astype(np.float32)
+    images = rng.uniform(0, 255, size=(1, 2, 32, 32, 3)).astype(np.float32)
+
+    def deviation(scale):
+        _, out_kp = apply_3d_transforms(
+            jax.random.PRNGKey(7),  # same rng stream for both runs
+            jnp.asarray(images), jnp.asarray(kp_frame),
+            jnp.asarray(intr[None]), jnp.asarray(extr[None]),
+            jnp.asarray(dist[None]),
+            scale_range=(scale, scale), translate_range=0.0, apply_prob=1.0,
+        )
+        return np.linalg.norm(np.asarray(out_kp) - kp_frame)
+
+    assert deviation(1.5) > deviation(1.1) > 0.0
+
+
+def test_apply_3d_transforms_translation_effect_monotonic(rng):
+    """Larger shift parameter moves keypoints further (reference
+    TestApply3DTransforms.test_translation_effect)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 10, 2).astype(np.float32)
+    images = rng.uniform(0, 255, size=(1, 2, 32, 32, 3)).astype(np.float32)
+
+    def deviation(translate):
+        _, out_kp = apply_3d_transforms(
+            jax.random.PRNGKey(9),
+            jnp.asarray(images), jnp.asarray(kp_frame),
+            jnp.asarray(intr[None]), jnp.asarray(extr[None]),
+            jnp.asarray(dist[None]),
+            scale_range=(1.0, 1.0), translate_range=translate, apply_prob=1.0,
+        )
+        return np.linalg.norm(np.asarray(out_kp) - kp_frame)
+
+    assert deviation(1.0) > deviation(0.1) > 0.0
+
+
+def test_apply_3d_transforms_mismatched_valid_views_skips(rng):
+    """Each view has >=3 valid keypoints but the valid sets don't overlap:
+    zero keypoints triangulate, so the sample must fall back to
+    no-augmentation instead of erroring (reference
+    test_mismatched_valid_keypoints_across_views)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(6, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 12, 2).astype(np.float32)
+    # view 0: keypoints 0-2 valid; view 1: keypoints 3-5 valid (no overlap)
+    kp_frame[:, 3:6] = np.nan
+    kp_frame[:, 6:9] = np.nan
+    images = rng.uniform(0, 255, size=(1, 2, 32, 32, 3)).astype(np.float32)
+
+    out_img, out_kp = apply_3d_transforms(
+        jax.random.PRNGKey(11),
+        jnp.asarray(images), jnp.asarray(kp_frame),
+        jnp.asarray(intr[None]), jnp.asarray(extr[None]),
+        jnp.asarray(dist[None]),
+        scale_range=(0.5, 0.5), translate_range=0.5, apply_prob=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(out_img), images)
+    out = np.asarray(out_kp)
+    valid = ~np.isnan(kp_frame)
+    np.testing.assert_allclose(out[valid], kp_frame[valid], atol=1e-3)
+    assert np.isnan(out[~valid]).all()
+
+
+def test_apply_3d_transforms_frame_to_model_mapping(rng):
+    """With a non-identity frame_to_model affine (the bbox-crop resize
+    mapping built in the train step), returned keypoints land in MODEL
+    coordinates: frame_to_model @ reprojected-frame-coords."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.ops.augment3d import apply_3d_transforms
+
+    intr, extr, dist = _synthetic_rig(2)
+    pts3d = rng.uniform(-0.3, 0.3, size=(5, 3)).astype(np.float32)
+    pts2d = np.stack([_project(pts3d, intr[v], extr[v]) for v in range(2)])
+    kp_frame = pts2d.reshape(1, 10, 2).astype(np.float32)
+    images = rng.uniform(0, 255, size=(1, 2, 32, 32, 3)).astype(np.float32)
+    # per-view scale+offset affine (e.g. 400px frame -> 32px model crop)
+    f2m = np.zeros((1, 2, 3, 3), dtype=np.float32)
+    f2m[0, 0] = [[0.08, 0, -1.0], [0, 0.08, -2.0], [0, 0, 1]]
+    f2m[0, 1] = [[0.10, 0, -3.0], [0, 0.10, -0.5], [0, 0, 1]]
+
+    out_img, out_kp = apply_3d_transforms(
+        jax.random.PRNGKey(0),
+        jnp.asarray(images), jnp.asarray(kp_frame),
+        jnp.asarray(intr[None]), jnp.asarray(extr[None]),
+        jnp.asarray(dist[None]),
+        frame_to_model=jnp.asarray(f2m),
+        scale_range=(1.0, 1.0), translate_range=0.0, apply_prob=1.0,
+    )
+    # identity perturbation -> output = frame_to_model applied to inputs
+    out = np.asarray(out_kp).reshape(2, 5, 2)
+    for v in range(2):
+        expected = pts2d[v] * f2m[0, v, 0, 0] + f2m[0, v, :2, 2]
+        np.testing.assert_allclose(out[v], expected, atol=0.05)
+
+
 def test_fit_similarity_transform_degenerate_is_identity():
     import jax.numpy as jnp
 

@@ -69,24 +69,40 @@ class _MBConv(nn.Module):
         return out + x if self.use_res else out
 
 
-class _TorchEfficientNetB0Trunk(nn.Module):
-    """torchvision-named efficientnet_b0 trunk (features.0 .. features.8)."""
+_EFF_STAGES = [  # (expand, channels, repeats, stride, kernel) — b0 base
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+]
 
-    STAGES = [  # (expand, channels, repeats, stride, kernel)
-        (1, 16, 1, 1, 3),
-        (6, 24, 2, 2, 3),
-        (6, 40, 2, 2, 5),
-        (6, 80, 3, 2, 3),
-        (6, 112, 3, 1, 5),
-        (6, 192, 4, 2, 5),
-        (6, 320, 1, 1, 3),
-    ]
 
-    def __init__(self):
+def _tv_round_channels(c: float, divisor: int = 8) -> int:
+    """torchvision _make_divisible."""
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return new_c
+
+
+class _TorchEfficientNetTrunk(nn.Module):
+    """torchvision-named efficientnet trunk (features.0 .. features.8) with
+    compound width/depth scaling — the exact torchvision b0/b1/b2 recipe
+    (reference backbones/factory.py:302-316 loads these weights)."""
+
+    def __init__(self, width_mult=1.0, depth_mult=1.0, head_channels=1280):
         super().__init__()
-        feats = [_ConvBNAct(3, 32, 3, 2)]
-        cin = 32
-        for expand, cout, repeats, stride, kernel in self.STAGES:
+        import math
+
+        stem = _tv_round_channels(32 * width_mult)
+        feats = [_ConvBNAct(3, stem, 3, 2)]
+        cin = stem
+        for expand, cout0, repeats0, stride, kernel in _EFF_STAGES:
+            cout = _tv_round_channels(cout0 * width_mult)
+            repeats = int(math.ceil(repeats0 * depth_mult))
             blocks = []
             for i in range(repeats):
                 blocks.append(
@@ -94,7 +110,7 @@ class _TorchEfficientNetB0Trunk(nn.Module):
                 )
                 cin = cout
             feats.append(nn.Sequential(*blocks))
-        feats.append(_ConvBNAct(cin, 1280, 1))
+        feats.append(_ConvBNAct(cin, head_channels, 1))
         self.features = nn.Sequential(*feats)
 
     def forward(self, x):
@@ -102,11 +118,19 @@ class _TorchEfficientNetB0Trunk(nn.Module):
 
 
 @pytest.mark.slow
-def test_efficientnet_b0_port_matches_torch(rng):
-    from lightning_pose_tpu.models.backbones.efficientnet import EfficientNet
+@pytest.mark.parametrize("variant", ["b0", "b1", "b2"])
+def test_efficientnet_port_matches_torch(rng, variant):
+    """Every efficientnet registry variant that claims a torchvision port
+    reproduces the torch forward (b1 scales depth, b2 scales width+depth —
+    distinct stage shapes from b0)."""
+    from lightning_pose_tpu.models.backbones.efficientnet import (
+        EFFICIENTNET_CONFIGS,
+        EfficientNet,
+    )
 
+    width_mult, depth_mult, head_channels = EFFICIENTNET_CONFIGS[variant]
     torch.manual_seed(0)
-    trunk = _TorchEfficientNetB0Trunk().eval()
+    trunk = _TorchEfficientNetTrunk(width_mult, depth_mult, head_channels).eval()
     with torch.no_grad():
         for m in trunk.modules():
             if isinstance(m, nn.BatchNorm2d):
@@ -118,12 +142,18 @@ def test_efficientnet_b0_port_matches_torch(rng):
         ref = trunk(torch.tensor(x)).numpy().transpose(0, 2, 3, 1)
 
     params, batch_stats = tp.port_efficientnet_state_dict(
-        trunk.state_dict(), "b0"
+        trunk.state_dict(), variant
     )
-    model = EfficientNet(variant="b0", dtype=jnp.float32)
+    model = EfficientNet(variant=variant, dtype=jnp.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
     )
+    # the port must cover every parameter the Flax model defines
+    flat_model = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(variables["params"])
+    )
+    flat_port = flax.traverse_util.flatten_dict(params)
+    assert set(flat_model.keys()) == set(flat_port.keys())
     params = flax.serialization.from_state_dict(variables["params"], params)
     batch_stats = flax.serialization.from_state_dict(
         variables["batch_stats"], batch_stats
@@ -133,7 +163,7 @@ def test_efficientnet_b0_port_matches_torch(rng):
         jnp.asarray(x.transpose(0, 2, 3, 1)),
         train=False,
     )
-    assert out.shape == (1, 2, 2, 1280)  # stride 32
+    assert out.shape == (1, 2, 2, head_channels)  # stride 32
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
 
 

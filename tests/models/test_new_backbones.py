@@ -170,9 +170,16 @@ def test_hiera_port_matches_hf(rng):
     np.testing.assert_allclose(out, ref, **TOL)
 
 
-def test_port_backbone_checkpoint_strips_sam2_container_prefix(tmp_path, rng):
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", ["vitt_sam2", "vits_sam2", "vitb_sam2"])
+def test_port_backbone_checkpoint_strips_sam2_container_prefix(
+    tmp_path, rng, arch
+):
     """A full Sam2Model-style checkpoint (vision_encoder.backbone.*) ports
-    through the single dispatcher into the real vitt_sam2 Hiera."""
+    through the single dispatcher into the real Hiera at each registry
+    config's true size. vits has different depth/global-attn indices than
+    vitt; vitb_sam2 additionally has distinct embed_dim (112), head count,
+    and bkg_size (14) (reference backbones/factory.py:80-86,238-334)."""
     import jax
 
     from transformers import Sam2HieraDetConfig
@@ -182,7 +189,7 @@ def test_port_backbone_checkpoint_strips_sam2_container_prefix(tmp_path, rng):
     from lightning_pose_tpu.models.backbones.hiera import HIERA_CONFIGS, Hiera
 
     torch.manual_seed(0)
-    c = HIERA_CONFIGS["vitt_sam2"]
+    c = HIERA_CONFIGS[arch]
     hf = Sam2HieraDetModel(
         Sam2HieraDetConfig(
             hidden_size=c["embed_dim"],
@@ -200,22 +207,22 @@ def test_port_backbone_checkpoint_strips_sam2_container_prefix(tmp_path, rng):
 
     sd = {f"vision_encoder.backbone.{k}": v for k, v in hf.state_dict().items()}
     sd["vision_encoder.neck.junk"] = torch.zeros(1)
-    path = tmp_path / "sam2_tiny.pt"
+    path = tmp_path / f"sam2_{arch}.pt"
     torch.save(sd, path)
 
-    ported = tp.port_backbone_checkpoint("vitt_sam2", str(path), image_size=128)
+    ported = tp.port_backbone_checkpoint(arch, str(path), image_size=128)
 
     x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
     with torch.no_grad():
         ref = hf(_nhwc(x)).last_hidden_state.numpy()
 
-    fx = Hiera(**HIERA_CONFIGS["vitt_sam2"])
+    fx = Hiera(**HIERA_CONFIGS[arch])
     variables = fx.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
     params = flax.serialization.from_state_dict(
         variables["params"], ported["params"]
     )
     out = np.asarray(fx.apply({"params": params}, jnp.asarray(x)))
-    assert out.shape == (1, 4, 4, 768)
+    assert out.shape == (1, 4, 4, c["embed_dim"] * 8)
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
