@@ -110,6 +110,230 @@ def bench_product() -> dict:
     return {"fps": n_frames / elapsed, "frames": n_frames, "sec": elapsed}
 
 
+def _device_peak_flops() -> float:
+    """Nominal bf16 peak of the attached accelerator for MFU estimates.
+    TPU v5e: 197 TFLOP/s bf16 (public spec). Unknown devices fall back to
+    the v5e number (the target platform)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind or "v5litepod" in kind:
+        return 197e12
+    if "v4" in kind:
+        return 275e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    return 197e12
+
+
+def _compiled_flops(compiled) -> float | None:
+    """Total FLOPs of a compiled XLA program via cost analysis (None when
+    the backend doesn't expose it)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench_device() -> dict:
+    """Device-resident steady-state inference: preload N video batches to
+    HBM, run ONE jitted lax.scan program over all of them, sync via
+    np.asarray. No per-batch transfer or dispatch in the timed region —
+    this is the rig-independent device-compute number (+ MFU estimate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightning_pose_tpu.data import bboxes as bboxes_mod
+    from lightning_pose_tpu.data.video import PredictVideoLoader
+    from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
+    from lightning_pose_tpu.ops.preprocess import normalize_images
+
+    n_batches = 8
+    model = HeatmapTracker(
+        backbone_arch="resnet50", num_keypoints=17, image_size=SIZE,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((SEQ_LEN, SIZE, SIZE, 3), dtype=jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+
+    loader = PredictVideoLoader(
+        VIDEO, sequence_length=SEQ_LEN, resize_height=SIZE, resize_width=SIZE
+    )
+    host_batches = []
+    for b in loader:
+        host_batches.append(b)
+        if len(host_batches) >= n_batches:
+            break
+    stacked = np.stack(host_batches)  # (N, T, H, W, 3) uint8
+    bbox = jnp.tile(jnp.asarray([0.0, 0.0, 406.0, 396.0]), (SEQ_LEN, 1))
+
+    @jax.jit
+    def run_all(variables, frames_all, bbox):
+        def body(carry, frames):
+            images = normalize_images(frames.astype(jnp.float32))
+            heatmaps = model.apply(variables, images, train=False)
+            preds, confs = model.decode(heatmaps, fast=True)
+            preds = bboxes_mod.model_to_frame_batch(preds, bbox, SIZE, SIZE)
+            return carry, (preds, confs)
+
+        _, outs = jax.lax.scan(body, 0, frames_all)
+        return outs
+
+    frames_dev = jax.device_put(jnp.asarray(stacked))
+    # warmup (compile) + one throwaway execution
+    kp, conf = run_all(variables, frames_dev, bbox)
+    np.asarray(kp)
+
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        kp, conf = run_all(variables, frames_dev, bbox)
+        np.asarray(kp), np.asarray(conf)  # host sync
+        elapsed = min(elapsed, time.time() - t0)
+
+    n_frames = n_batches * SEQ_LEN
+    fps = n_frames / elapsed
+    flops = _compiled_flops(run_all.lower(variables, frames_dev, bbox).compile())
+    mfu = None
+    if flops:
+        mfu = (flops / elapsed) / _device_peak_flops() * 100.0
+    return {"fps": fps, "frames": n_frames, "sec": elapsed, "mfu_pct": mfu}
+
+
+def bench_train() -> dict:
+    """Device-resident training throughput (BASELINE row 1's counterpart):
+    ResNet-50 heatmap, batch 16, 256px, dlc augmentation on device, data in
+    an HBM cache. Times the scanned-epoch program (one dispatch for all
+    steps, so per-RPC overhead is amortized out) -> steps/sec + MFU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightning_pose_tpu.config import load_config
+    from lightning_pose_tpu.losses.factory import LossFactory
+    from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
+    from lightning_pose_tpu.ops.augment import AugmentationEngine
+    from lightning_pose_tpu.train.trainer import (
+        TrainState,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    bs = 16
+    n_cache = 64
+    n_steps = 15  # scan length: long enough to amortize RPC, short compile
+    num_keypoints = 17
+
+    cfg = load_config()
+    cfg.data.image_resize_dims.height = SIZE
+    cfg.data.image_resize_dims.width = SIZE
+    cfg.data.num_keypoints = num_keypoints
+    cfg.training.train_batch_size = bs
+    cfg.training.imgaug = "dlc"
+
+    model = HeatmapTracker(
+        backbone_arch="resnet50", num_keypoints=num_keypoints,
+        image_size=SIZE, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng, jnp.zeros((bs, SIZE, SIZE, 3), dtype=jnp.float32), train=False
+    )
+    tx, _, _ = make_optimizer(cfg, 100, variables["params"])
+    state = TrainState(
+        step=jnp.asarray(0, dtype=jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    loss_factories = {
+        "supervised": LossFactory({"heatmap_mse": {"log_weight": 0.0}}),
+        "unsupervised": LossFactory({}),
+    }
+    augmenter = AugmentationEngine(
+        pipeline="dlc", image_height=SIZE, image_width=SIZE
+    )
+    meta = {
+        "model_type": "heatmap",
+        "semi_supervised": False,
+        "downsample_factor": 2,
+        "num_keypoints": num_keypoints,
+        "image_size": SIZE,
+    }
+    *_, train_epoch_cached = make_step_fns(
+        model, meta, loss_factories, augmenter, cfg, tx, 100
+    )
+
+    np_rng = np.random.default_rng(0)
+    cache = {
+        "images": jax.device_put(
+            np_rng.integers(0, 255, (n_cache, SIZE, SIZE, 3)).astype(np.uint8)
+        ),
+        "keypoints": jax.device_put(
+            np_rng.uniform(20, SIZE - 20, (n_cache, num_keypoints, 2)).astype(
+                np.float32
+            )
+        ),
+        "visibility": jax.device_put(
+            np.full((n_cache, num_keypoints), 2, dtype=np.int64)
+        ),
+        "bbox": jax.device_put(
+            np.tile(
+                np.asarray([0.0, 0.0, 406.0, 396.0], dtype=np.float32),
+                (n_cache, 1),
+            )
+        ),
+    }
+    idxs_all = np_rng.integers(0, n_cache, (n_steps, bs)).astype(np.int32)
+    valid_all = np.ones((n_steps, bs), dtype=bool)
+    idxs_dev = jax.device_put(idxs_all)
+    valid_dev = jax.device_put(valid_all)
+    step_rng = jax.random.PRNGKey(1)
+
+    flops = _compiled_flops(
+        train_epoch_cached.lower(
+            state, cache, idxs_dev, valid_dev, step_rng
+        ).compile()
+    )
+
+    # warmup (compile + first run); state is donated so chain it through
+    state, logs = train_epoch_cached(state, cache, idxs_dev, valid_dev, step_rng)
+    np.asarray(logs["total_loss"])
+
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        state, logs = train_epoch_cached(
+            state, cache, idxs_dev, valid_dev, step_rng
+        )
+        losses = np.asarray(logs["total_loss"])  # host sync
+        t1 = time.time()
+        assert losses.shape == (n_steps,) and np.isfinite(losses).all()
+        elapsed = min(elapsed, t1 - t0)
+
+    steps_per_sec = n_steps / elapsed
+    mfu = None
+    if flops:
+        mfu = (flops / elapsed) / _device_peak_flops() * 100.0
+    # BASELINE row 1: ~20 min for ~200 labeled frames on a T4 — the
+    # reference default trains 300 epochs x ceil(160/16)=10 steps = 3000
+    # steps in ~1200 s => ~2.5 steps/s equivalent
+    t4_steps_per_sec = 3000 / 1200.0
+    return {
+        "steps_per_sec": steps_per_sec,
+        "ms_per_step": 1000.0 / steps_per_sec,
+        "sec": elapsed,
+        "mfu_pct": mfu,
+        "vs_t4_train": steps_per_sec / t4_steps_per_sec,
+    }
+
+
 def bench_raw() -> dict:
     """Round-1 metric: the raw decode+transfer+forward loop only."""
     import jax
@@ -158,78 +382,127 @@ def bench_raw() -> dict:
     return {"fps": n_frames / elapsed, "frames": n_frames, "sec": elapsed}
 
 
-def _run_measurement(raw_mode: bool) -> None:
+def _run_measurement(mode: str) -> None:
     # persistent compilation cache: repeat invocations (and the retry
     # attempt) skip the ~40 s XLA compile
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/lp_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if raw_mode:
+    if mode == "raw":
         r = bench_raw()
-        metric = "video_inference_fps_per_chip_resnet50_heatmap"
+        out = {
+            "metric": "video_inference_fps_per_chip_resnet50_heatmap",
+            "value": round(r["fps"], 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
+        }
+    elif mode == "device":
+        r = bench_device()
+        out = {
+            "metric": "device_resident_inference_fps_resnet50_heatmap",
+            "value": round(r["fps"], 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
+            "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+        }
+    elif mode == "train":
+        r = bench_train()
+        out = {
+            "metric": "train_steps_per_sec_resnet50_heatmap_bs16",
+            "value": round(r["steps_per_sec"], 3),
+            "unit": "steps/sec",
+            "vs_baseline": round(r["vs_t4_train"], 2),
+            "ms_per_step": round(r["ms_per_step"], 1),
+            "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+        }
     else:
         r = bench_product()
-        metric = "video_inference_fps_product_path_resnet50_heatmap"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(r["fps"], 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
-            }
-        )
-    )
+        out = {
+            "metric": "video_inference_fps_product_path_resnet50_heatmap",
+            "value": round(r["fps"], 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
+        }
+    print(json.dumps(out))
 
 
-def main() -> None:
-    """Watchdog wrapper: the remote-TPU tunnel occasionally hangs a single
-    RPC for minutes; a hung measurement would otherwise eat the whole
-    benchmark budget. Run the measurement in a subprocess with a timeout
-    and retry once on a hang/failure before reporting."""
+def _watchdog(mode: str, timeout: int, retries: int = 2) -> dict | None:
+    """Run one measurement in a subprocess with a timeout; retry on
+    hang/failure (single tunnel RPCs can hang for minutes)."""
     import subprocess
 
-    raw_mode = "--raw" in sys.argv
-    if "--child" in sys.argv:
-        _run_measurement(raw_mode)
-        return
-
-    cmd = [sys.executable, os.path.abspath(__file__), "--child"]
-    if raw_mode:
-        cmd.append("--raw")
-    last_err = ""
-    for attempt in range(2):
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", f"--{mode}"]
+    for attempt in range(retries):
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=600
+                cmd, capture_output=True, text=True, timeout=timeout
             )
         except subprocess.TimeoutExpired:
-            last_err = f"attempt {attempt + 1}: timed out (tunnel hang?)"
-            print(last_err, file=sys.stderr)
+            print(
+                f"{mode} attempt {attempt + 1}: timed out (tunnel hang?)",
+                file=sys.stderr,
+            )
             continue
         json_lines = [
             ln for ln in proc.stdout.splitlines() if ln.startswith("{")
         ]
         if proc.returncode == 0 and json_lines:
-            print(json_lines[-1])
-            return
-        last_err = (
-            f"attempt {attempt + 1}: rc={proc.returncode} "
-            f"{proc.stderr[-500:]}"
+            return json.loads(json_lines[-1])
+        print(
+            f"{mode} attempt {attempt + 1}: rc={proc.returncode} "
+            f"{proc.stderr[-500:]}",
+            file=sys.stderr,
         )
-        print(last_err, file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "video_inference_fps_product_path_resnet50_heatmap",
-                "value": 0.0,
-                "unit": "frames/sec",
-                "vs_baseline": 0.0,
-                "error": f"benchmark failed twice: {last_err[-300:]}",
-            }
-        )
-    )
+    return None
+
+
+def main() -> None:
+    """Product-path fps (headline) + device-resident inference fps/MFU +
+    training steps/sec/MFU, each in its own watchdog subprocess, merged
+    into ONE JSON line.
+
+    --raw / --device / --train run a single measurement (still
+    watchdogged); --child --<mode> is the in-process measurement."""
+    for mode in ("raw", "device", "train", "product"):
+        if f"--{mode}" in sys.argv:
+            single = mode
+            break
+    else:
+        single = None
+
+    if "--child" in sys.argv:
+        _run_measurement(single or "product")
+        return
+
+    if single is not None:
+        r = _watchdog(single, timeout=600)
+        print(json.dumps(r) if r else json.dumps({"metric": single, "value": 0.0,
+              "unit": "", "vs_baseline": 0.0, "error": "measurement failed"}))
+        return
+
+    product = _watchdog("product", timeout=600, retries=2)
+    device = _watchdog("device", timeout=480, retries=2)
+    train = _watchdog("train", timeout=600, retries=2)
+
+    if product is None:
+        product = {
+            "metric": "video_inference_fps_product_path_resnet50_heatmap",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": 0.0,
+            "error": "product measurement failed twice",
+        }
+    out = dict(product)
+    if device is not None:
+        out["device_resident_fps"] = device["value"]
+        out["device_inference_mfu_pct"] = device.get("mfu_pct")
+    if train is not None:
+        out["train_steps_per_sec"] = train["value"]
+        out["train_ms_per_step"] = train.get("ms_per_step")
+        out["train_mfu_pct"] = train.get("mfu_pct")
+        out["train_vs_t4_20min_baseline"] = train.get("vs_baseline")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -223,7 +223,12 @@ class Model:
                     merge_heads_by_confidence,
                 )
 
-                if images.ndim == 4:
+                if num_views > 1:
+                    if images.ndim == 5:  # (T, V, H, W, 3) multiview video
+                        images = make_context_windows(images).transpose(
+                            0, 2, 1, 3, 4, 5
+                        )  # -> (T-4, V, 5, H, W, 3)
+                elif images.ndim == 4:
                     images = make_context_windows(images)
                 hm_sf, hm_mf = module.apply(vs, images, train=False)
                 kp_sf, conf_sf = decode_fn(hm_sf)
@@ -450,7 +455,8 @@ class Model:
         data_dir = str(data_dir or cfg.data.data_dir)
         cfg.data.csv_file = [str(c) for c in csv_file_per_view]
         dataset = MultiviewHeatmapDataset(
-            cfg=cfg, data_dir=data_dir, imgaug_pipeline="default"
+            cfg=cfg, data_dir=data_dir, imgaug_pipeline="default",
+            do_context=(cfg.model.model_type == "heatmap_mhcrnn"),
         )
         data_module = BaseDataModule(
             dataset=dataset,
@@ -526,11 +532,11 @@ class Model:
                 f"frame_rgb must be uint8, got {frame_rgb.dtype}. "
                 "Convert with frame.astype(np.uint8) if values are in [0, 255]."
             )
-        is_stack_input = frame_rgb.ndim == 4
-        if frame_rgb.ndim not in (3, 4) or frame_rgb.shape[-1] != 3:
+        is_stack_input = frame_rgb.ndim >= 4
+        if frame_rgb.ndim not in (3, 4, 5) or frame_rgb.shape[-1] != 3:
             raise ValueError(
-                f"frame_rgb must be (H, W, 3) or (T, H, W, 3), got shape "
-                f"{frame_rgb.shape}"
+                f"frame_rgb must be (H, W, 3), (T, H, W, 3), or "
+                f"(V, T, H, W, 3), got shape {frame_rgb.shape}"
             )
         if frame_rgb.size == 0:
             raise ValueError("frame_rgb is empty")
@@ -540,15 +546,23 @@ class Model:
         model_type = normalize_model_type(str(self.cfg.model.model_type))
         is_context_model = model_type == "heatmap_mhcrnn"
         is_multiview_model = model_type == "heatmap_multiview"
-        if is_context_model and not is_stack_input:
+        nv = int(self._meta.get("num_views", 1) or 1)
+        is_mv_context = is_context_model and nv > 1
+        if is_mv_context:
+            if frame_rgb.ndim != 5 or frame_rgb.shape[0] != nv:
+                raise ValueError(
+                    f"Multiview context model requires frame_rgb of shape "
+                    f"({nv}, T, H, W, 3): one temporal context stack per "
+                    f"view in cfg order."
+                )
+        elif is_context_model and frame_rgb.ndim != 4:
             raise ValueError(
                 "Context model requires frame_rgb of shape (T, H, W, 3) "
                 "where T is the temporal context length (typically 5). "
                 "Use predict_on_video_file for single-frame input."
             )
         if is_multiview_model:
-            nv = int(self._meta.get("num_views", 1) or 1)
-            if not is_stack_input or frame_rgb.shape[0] != nv:
+            if frame_rgb.ndim != 4 or frame_rgb.shape[0] != nv:
                 raise ValueError(
                     f"Multiview model requires frame_rgb of shape "
                     f"({nv}, H, W, 3), one frame per view in cfg order."
@@ -565,11 +579,12 @@ class Model:
                 raise ValueError(
                     f"bbox width and height must be positive, got w={bw}, h={bh}"
                 )
-            crop = (
-                frame_rgb[:, by:by + bh, bx:bx + bw]
-                if is_stack_input
-                else frame_rgb[by:by + bh, bx:bx + bw]
-            )
+            if frame_rgb.ndim == 5:
+                crop = frame_rgb[:, :, by:by + bh, bx:bx + bw]
+            elif is_stack_input:
+                crop = frame_rgb[:, by:by + bh, bx:bx + bw]
+            else:
+                crop = frame_rgb[by:by + bh, bx:bx + bw]
             if crop.size == 0:
                 raise ValueError(
                     f"bbox (x={bx}, y={by}, w={bw}, h={bh}) produces an "
@@ -590,11 +605,18 @@ class Model:
         def resize(img):
             return cv2.resize(img, (width, height), interpolation=cv2.INTER_LINEAR)
 
-        if is_stack_input:
+        if frame_rgb.ndim == 5:  # (V, T, H, W, 3) multiview context stacks
+            images = np.stack(
+                [
+                    np.stack([resize(crop[v, t]) for t in range(crop.shape[1])])
+                    for v in range(crop.shape[0])
+                ]
+            )[None]  # (1, V, T, h, w, 3)
+        elif is_stack_input:
             images = np.stack([resize(crop[i]) for i in range(crop.shape[0])])[None]
         else:
             images = resize(crop)[None]
-        if is_multiview_model:
+        if is_multiview_model or is_mv_context:
             # per-view bbox slices (all views share the frame/crop dims here)
             bbox_lp = np.tile(bbox_lp[:, None, :], (1, images.shape[1], 1))
 

@@ -31,7 +31,9 @@ __all__ = ["MultiviewHeatmapDataset"]
 class MultiviewHeatmapDataset:
     """Fuses per-view HeatmapDatasets; len = number of sessions (frames)."""
 
-    def __init__(self, cfg, data_dir: str, imgaug_pipeline=None) -> None:
+    def __init__(
+        self, cfg, data_dir: str, imgaug_pipeline=None, do_context: bool = False
+    ) -> None:
         view_names = list(cfg.data.view_names)
         csv_files = cfg.data.csv_file
         if isinstance(csv_files, str):
@@ -59,6 +61,7 @@ class MultiviewHeatmapDataset:
                 imgaug_pipeline=imgaug_pipeline,
                 downsample_factor=int(cfg.data.get("downsample_factor", 2)),
                 bbox_path=bbox_files[i] if bbox_files else None,
+                do_context=do_context,
             )
 
         # cross-view consistency checks (reference datasets.py:600-670)
@@ -78,7 +81,7 @@ class MultiviewHeatmapDataset:
         self.num_keypoints_per_view = first.num_keypoints
         self.num_keypoints = first.num_keypoints * len(view_names)
         self.num_targets = self.num_keypoints * 2
-        self.do_context = False
+        self.do_context = bool(do_context)
         self.imgaug_pipeline = imgaug_pipeline
         self.hflip_swap_indices = np.arange(self.num_keypoints, dtype=np.intp)
         self.downsample_factor = first.downsample_factor
@@ -104,6 +107,14 @@ class MultiviewHeatmapDataset:
         self._calib_by_file: dict[str, dict] = {}
         self._calib_file_per_frame: list[str] | None = None
         cam_file = cfg.data.get("camera_params_file", None)
+        if cam_file and self.do_context:
+            # 3D augmentations are not supported for context models
+            # (reference datasets.py:686,748 asserts; discovery likewise
+            # raises, reference tests test_discover_do_context_raises_*)
+            raise ValueError(
+                "3D augmentations (camera_params_file) are not supported "
+                "for context (heatmap_mhcrnn) models"
+            )
         if cam_file:
             path = cam_file if os.path.isabs(cam_file) else os.path.join(data_dir, cam_file)
             if not os.path.exists(path):
@@ -193,6 +204,13 @@ class MultiviewHeatmapDataset:
             return
         self._calib_file_per_frame = files
         if files:
+            if self.do_context:
+                raise ValueError(
+                    "found anipose calibration for this dataset, but 3D "
+                    "augmentations are not supported for context "
+                    "(heatmap_mhcrnn) models; remove the calibration files "
+                    "or use model_type heatmap_multiview_transformer"
+                )
             logger.info(
                 f"discovered anipose calibration for {len(files)} frames "
                 f"({len(self._calib_by_file)} file(s))"
@@ -250,7 +268,8 @@ class MultiviewHeatmapDataset:
             vis.append(s["visibility"])
             bboxes.append(s["bbox"])
         sample = {
-            "images": np.stack(images),  # (V, H, W, 3)
+            # (V, H, W, 3), or (V, 5, H, W, 3) for context models
+            "images": np.stack(images),
             "keypoints": np.concatenate(keypoints, axis=0),  # (V*K, 2) view-major
             "visibility": np.concatenate(vis, axis=0),
             "bbox": np.concatenate(bboxes, axis=0),  # (V*4,)

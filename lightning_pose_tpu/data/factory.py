@@ -59,7 +59,21 @@ def get_dataset(cfg, data_dir: str, imgaug_pipeline=None):
             downsample_factor=int(cfg.data.get("downsample_factor", 2)),
             **common,
         )
+    view_names = cfg.data.get("view_names", None)
+    is_multiview_data = bool(view_names) and len(view_names) > 1
     if model_type == "heatmap_mhcrnn":
+        if is_multiview_data:
+            # context on multiview data: per-view 5-frame stacks fused to
+            # (V, 5, H, W, 3) (reference data/factory.py:179 wires
+            # do_context for mhcrnn into MultiviewHeatmapDataset)
+            from lightning_pose_tpu.data.datasets_multiview import (
+                MultiviewHeatmapDataset,
+            )
+
+            return MultiviewHeatmapDataset(
+                cfg=cfg, data_dir=data_dir, imgaug_pipeline=imgaug_pipeline,
+                do_context=True,
+            )
         return HeatmapDataset(
             do_context=True,
             downsample_factor=int(cfg.data.get("downsample_factor", 2)),

@@ -398,12 +398,13 @@ class MultiviewPredictVideoLoader:
         resize_height: int,
         resize_width: int,
         transfer_format: str = "rgb",
+        do_context: bool = False,
     ):
         self.video_files = [str(v) for v in video_files]
         self.loaders = [
             PredictVideoLoader(
                 v, sequence_length, resize_height, resize_width,
-                transfer_format=transfer_format,
+                transfer_format=transfer_format, do_context=do_context,
             )
             for v in self.video_files
         ]

@@ -46,6 +46,17 @@ def merge_heads_by_confidence(
     return kp.reshape(kp_sf.shape), conf
 
 
+def _unfold_view_channels(heatmaps: jax.Array, b: int, v: int) -> jax.Array:
+    """(B*V, h, w, K) per-view heatmaps -> (B, h, w, V*K) view-major
+    channels (matching the multiview datasets' keypoint layout)."""
+    bv, h, w, k = heatmaps.shape
+    return (
+        heatmaps.reshape(b, v, h, w, k)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, h, w, v * k)
+    )
+
+
 class HeatmapTrackerMHCRNN(nn.Module):
     """images (B, 5, H, W, 3) -> (heatmaps_sf, heatmaps_mf)."""
 
@@ -78,6 +89,18 @@ class HeatmapTrackerMHCRNN(nn.Module):
     def __call__(
         self, images: jax.Array, train: bool = False
     ) -> tuple[jax.Array, jax.Array]:
+        """``(B, 5, H, W, 3)`` single-view context stacks, or
+        ``(B, V, 5, H, W, 3)`` multiview context stacks — views fold into
+        the batch for the CRNN and unfold into view-major heatmap channels
+        (reference models/base.py:296-343 view stacking)."""
+        if images.ndim == 6:
+            b, v = images.shape[0], images.shape[1]
+            flat_views = images.reshape(b * v, *images.shape[2:])
+            hm_sf, hm_mf = self(flat_views, train=train)
+            return (
+                _unfold_view_channels(hm_sf, b, v),
+                _unfold_view_channels(hm_mf, b, v),
+            )
         b, t, h, w, c = images.shape
         flat = images.reshape(b * t, h, w, c)
         features = self.backbone(flat, train=train)

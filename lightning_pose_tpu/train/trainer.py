@@ -378,6 +378,18 @@ def make_step_fns(
                 )
             images = imgs_aug.reshape(bsz, num_views, *imgs_aug.shape[1:])
             keypoints = kp_aug.reshape(bsz, -1, 2)
+        elif is_context and num_views > 1:
+            # mhcrnn on multiview data: (B, V, 5, H, W, 3) context stacks —
+            # views augment independently (fold into batch), each view's 5
+            # frames share one transform (reference folds views into the
+            # batch dim, models/base.py:296-343)
+            imgs = batch["images"]
+            bsz, v_ = imgs.shape[0], imgs.shape[1]
+            flat = imgs.reshape(bsz * v_, *imgs.shape[2:])
+            kp = batch["keypoints"].reshape(bsz * v_, -1, 2)
+            imgs_aug, kp_aug = augmenter(aug_rng, flat, kp)
+            images = imgs_aug.reshape(bsz, v_, *imgs_aug.shape[1:])
+            keypoints = kp_aug.reshape(bsz, -1, 2)
         else:
             images, keypoints = augmenter(
                 aug_rng, batch["images"], batch["keypoints"]
@@ -412,7 +424,7 @@ def make_step_fns(
                 # (reference dali.py:156-182), only for dlc-style presets;
                 # multiview windows get photometric-only treatment per view
                 # (views must stay geometrically consistent)
-                if is_multiview:
+                if num_views > 1:
                     t_, v_ = ul["frames"].shape[0], ul["frames"].shape[1]
                     flat_frames = ul["frames"].reshape(
                         t_ * v_, *ul["frames"].shape[2:]
@@ -445,7 +457,14 @@ def make_step_fns(
                         merge_heads_by_confidence,
                     )
 
-                    ul_windows = make_context_windows(ul_images)
+                    if ul_images.ndim == 5:
+                        # multiview unlabeled (T, V, H, W, 3): windows per
+                        # view, then (T-4, V, 5, H, W, 3) — the model folds
+                        # views into the batch (reference base.py:323-343)
+                        w5 = make_context_windows(ul_images)
+                        ul_windows = w5.transpose(0, 2, 1, 3, 4, 5)
+                    else:
+                        ul_windows = make_context_windows(ul_images)
                     (ul_sf, ul_mf), mutated = module.apply(
                         variables, ul_windows, train=True,
                         mutable=["batch_stats"],
@@ -534,7 +553,12 @@ def make_step_fns(
                 merge_heads_by_confidence,
             )
 
-            if images.ndim == 4:  # video sequence -> sliding windows
+            if num_views > 1:
+                if images.ndim == 5:  # (T, V, H, W, 3) multiview sequence
+                    images = make_context_windows(images).transpose(
+                        0, 2, 1, 3, 4, 5
+                    )  # -> (T-4, V, 5, H, W, 3)
+            elif images.ndim == 4:  # video sequence -> sliding windows
                 images = make_context_windows(images)
             heatmaps_sf, heatmaps_mf = module.apply(variables, images, train=False)
             kp_sf, conf_sf = module.decode(heatmaps_sf, fast=True)

@@ -186,7 +186,9 @@ def predict_video_multiview(
 
     from lightning_pose_tpu.data.video import MultiviewPredictVideoLoader
 
-    seq_len = int(cfg.dali.base["predict"]["sequence_length"])
+    do_context = cfg.model.model_type == "heatmap_mhcrnn"
+    seq_key = "context" if do_context else "base"
+    seq_len = int(cfg.dali[seq_key]["predict"]["sequence_length"])
     height = int(cfg.data.image_resize_dims.height)
     width = int(cfg.data.image_resize_dims.width)
 
@@ -196,6 +198,7 @@ def predict_video_multiview(
         resize_height=height,
         resize_width=width,
         transfer_format=transfer_format,
+        do_context=do_context,
     )
     # per-view full-frame bboxes, (T, V*4)
     bbox_cols = []

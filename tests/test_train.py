@@ -296,6 +296,77 @@ def test_train_multiview(cfg, mv_data_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_mhcrnn_multiview(cfg, mv_data_dir, tmp_path):
+    """heatmap_mhcrnn on multiview data: context stacks per view fused to
+    (B, V, 5, H, W, 3), views folded into the CRNN batch, semi-supervised
+    with pca_multiview over the synchronized unlabeled multiview stream
+    (reference tests/models/test_heatmap_tracker_mhcrnn.py:53-66,125-144)."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.video_dir = f"{mv_data_dir}/videos"
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.view_names = ["top", "bot"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = [0, 1, 2, 3, 4, 5, 6]
+    c.data.columns_for_singleview_pca = None
+    c.training.imgaug = "dlc-mv"
+    c.training.train_batch_size = 2
+    c.training.val_batch_size = 2
+    c.training.test_batch_size = 2
+    c.training.train_frames = 4
+    c.training.max_epochs = 1
+    c.training.min_epochs = 1
+    c.training.check_val_every_n_epoch = 1
+    c.training.unfreezing_epoch = 0
+    c.dali.base.train.sequence_length = 8
+    c.model.model_type = "heatmap_mhcrnn"
+    c.model.backbone = "resnet18"
+    c.model.losses_to_use = ["pca_multiview"]
+    c.model.model_name = "mv-mhcrnn-test"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path)
+
+    # evaluation artifacts: per-view predictions from context batches
+    assert (tmp_path / "image_preds" / "top.csv" / "predictions.csv").exists()
+    assert (tmp_path / "predictions_top.csv").exists()
+
+    # Model API reload: multiview context predict_frame takes one 5-frame
+    # stack per view
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(tmp_path)
+    result = m.predict_frame(np.zeros((2, 5, 168, 396, 3), dtype=np.uint8))
+    assert result["keypoints"].shape == (14, 2)  # view-major 2 views x 7 kps
+    assert np.isfinite(result["keypoints"]).all()
+    with pytest.raises(ValueError, match="Multiview context"):
+        m.predict_frame(np.zeros((5, 168, 396, 3), dtype=np.uint8))
+
+    # label-CSV prediction runs the context multiview batch path
+    out = m.predict_on_label_csv_multiview(
+        csv_file_per_view=["top.csv", "bot.csv"], compute_metrics=False
+    )
+    assert set(out.predictions.keys()) == {"top", "bot"}
+    assert out.predictions["top"].shape[0] == 90
+
+    # multiview video inference with context windows + shift-by-2
+    res = m.predict_on_video_file_multiview(
+        [
+            f"{mv_data_dir}/videos/test_vid_top.mp4",
+            f"{mv_data_dir}/videos/test_vid_bot.mp4",
+        ],
+        compute_metrics=False,
+    )
+    n_frames = len(res.predictions["top"])
+    assert n_frames == len(res.predictions["bot"]) > 0
+    for view in ("top", "bot"):
+        arr = res.predictions[view].to_numpy(dtype=float)
+        assert np.isfinite(arr).all()
+
+
+@pytest.mark.slow
 def test_cached_and_uncached_steps_equivalent(cfg, toy_data_dir):
     """The device-cache path must produce the same update as the host-batch
     path for the same samples and rng."""
