@@ -175,7 +175,12 @@ class BaseTrackingDataset:
         return out
 
     def _load_context(self, idx: int) -> np.ndarray:
-        """Load the 5-frame context stack (T=5, H, W, 3) for a center frame."""
+        """Load the 5-frame context stack (T=5, H, W, 3) for a center frame.
+
+        All five frames crop through the CENTER frame's bbox (when a
+        bbox_file is configured) so the temporal stack stays registered
+        with the labels (the reference crops each context frame through
+        the same per-frame bbox)."""
         center = self.root_directory / self.image_names[idx]
         paths = io_utils.get_context_img_paths(center)
         frames = []
@@ -184,6 +189,9 @@ class BaseTrackingDataset:
                 img = self._load_raw_image(p)
             else:  # edge frames may not exist; repeat center
                 img = self._load_raw_image(center)
+            if self.bboxes is not None:
+                x, y, h, w = self.bboxes[idx]
+                img = img[int(y):int(y + h), int(x):int(x + w)]
             frames.append(
                 cv2.resize(
                     img,

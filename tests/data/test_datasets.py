@@ -189,6 +189,134 @@ def test_multiview_mismatched_frames_raises(cfg, mv_data_dir, tmp_path):
         MultiviewHeatmapDataset(cfg=c, data_dir=str(short_dir))
 
 
+def test_multiview_fusion_ordering(cfg, mv_data_dir):
+    """Fused multiview samples keep view-major ordering consistent with the
+    per-view child datasets: images stack in cfg view order, keypoints and
+    bboxes concatenate per view (the reference's batch-properties and
+    ordering invariants, reference test_datasets.py:161-215)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    ds = MultiviewHeatmapDataset(cfg=c, data_dir=mv_data_dir)
+    for idx in (0, 7):
+        fused = ds[idx]
+        for v, view in enumerate(["top", "bot"]):
+            single = ds.view_datasets[view][idx]
+            np.testing.assert_array_equal(fused["images"][v], single["images"])
+            np.testing.assert_allclose(
+                fused["keypoints"][v * 7:(v + 1) * 7], single["keypoints"],
+            )
+            np.testing.assert_allclose(
+                fused["bbox"][v * 4:(v + 1) * 4], single["bbox"]
+            )
+            np.testing.assert_array_equal(
+                fused["visibility"][v * 7:(v + 1) * 7], single["visibility"]
+            )
+    # PCA extraction path fuses the same way
+    np.testing.assert_allclose(
+        ds.keypoints_resized(0),
+        np.concatenate(
+            [ds.view_datasets[v].keypoints_resized(0) for v in ["top", "bot"]]
+        ),
+    )
+
+
+def test_multiview_context_sample_shapes(cfg, mv_data_dir):
+    """do_context multiview samples carry (V, 5, H, W, 3) stacks with the
+    center frame equal to the non-context sample (reference
+    test_datasets.py:184-215 context batch properties)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    ds_ctx = MultiviewHeatmapDataset(cfg=c, data_dir=mv_data_dir, do_context=True)
+    ds_plain = MultiviewHeatmapDataset(cfg=c, data_dir=mv_data_dir)
+    assert ds_ctx.do_context
+    s = ds_ctx[10]
+    assert s["images"].shape[:2] == (2, 5)
+    assert s["keypoints"].shape == (14, 2)
+    np.testing.assert_array_equal(
+        s["images"][:, 2], ds_plain[10]["images"]
+    )
+    np.testing.assert_allclose(s["keypoints"], ds_plain[10]["keypoints"])
+
+
+def test_multiview_context_rejects_calibration(cfg, mv_data_dir, tmp_path):
+    """Calibration + context is rejected (3D aug unsupported for context
+    models — reference datasets.py:686,748 and the discovery/do_context
+    raise tests)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.data.camera_params_file = str(tmp_path / "anything.toml")
+    with pytest.raises(ValueError, match="not supported"):
+        MultiviewHeatmapDataset(
+            cfg=c, data_dir=mv_data_dir, do_context=True
+        )
+
+
+def test_context_bbox_interaction(tmp_path):
+    """bbox_file + do_context: every context frame is cropped through the
+    SAME per-frame bbox, so the stacked images all reflect the crop and the
+    sample bbox matches the file row (reference bbox+context handling)."""
+    import pandas as pd
+
+    (tmp_path / "labels.csv").write_text(
+        "scorer,s,s\n"
+        "bodyparts,kp1,kp1\n"
+        "coords,x,y\n"
+        "vid/img000010.png,24.0,24.0\n"
+    )
+    for i in range(8, 14):
+        _write_img(str(tmp_path / "vid" / f"img{i:06d}.png"), h=64, w=48)
+    bbox_df = pd.DataFrame(
+        {"x": [10], "y": [5], "h": [32], "w": [24]},
+        index=["vid/img000010.png"],
+    )
+    bbox_df.to_csv(tmp_path / "bboxes.csv")
+
+    ds = HeatmapDataset(
+        root_directory=str(tmp_path), csv_path="labels.csv",
+        image_resize_height=128, image_resize_width=128, do_context=True,
+        bbox_path=str(tmp_path / "bboxes.csv"),
+    )
+    s = ds[0]
+    assert s["images"].shape == (5, 128, 128, 3)
+    np.testing.assert_allclose(s["bbox"], [10, 5, 32, 24])
+    # keypoints are expressed in the cropped/resized model space:
+    # x: (24-10)/24*128, y: (24-5)/32*128
+    np.testing.assert_allclose(
+        s["keypoints"][0], [(24 - 10) / 24 * 128, (24 - 5) / 32 * 128], atol=1e-3
+    )
+
+    # without the bbox file the same frame resizes the full image
+    ds_full = HeatmapDataset(
+        root_directory=str(tmp_path), csv_path="labels.csv",
+        image_resize_height=128, image_resize_width=128, do_context=True,
+    )
+    assert not np.array_equal(ds_full[0]["images"], s["images"])
+
+
 # -- hflip swap indices (reference datasets.py:175-232) ------------------------
 
 
