@@ -483,7 +483,9 @@ def main() -> None:
 
     product = _watchdog("product", timeout=600, retries=2)
     device = _watchdog("device", timeout=480, retries=2)
-    train = _watchdog("train", timeout=600, retries=2)
+    # the scanned train program's cold compile alone can exceed 10 min
+    # through the tunnel; the persistent cache makes retries fast
+    train = _watchdog("train", timeout=900, retries=2)
 
     if product is None:
         product = {
