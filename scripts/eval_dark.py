@@ -58,6 +58,11 @@ def make_multiview_split(out: Path) -> None:
             p.replace("labeled-data/", f"labeled-data/example_{view}/")
             for p in df.index
         ]
+        # strip the view suffix so keypoint names match across views
+        df.columns = pd.MultiIndex.from_tuples(
+            [(a, b.replace(f"_{view}", ""), c) for a, b, c in df.columns],
+            names=df.columns.names,
+        )
         return df
 
     relabel(df_top, "top").to_csv(out / "top.csv")
