@@ -182,24 +182,43 @@ def crop_labeled_frames(
     input_bbox_file: Path,
     output_data_dir: Path,
     output_csv_file: Path,
+    num_workers: int | None = None,
 ) -> None:
-    """Crop labeled frames + remap the labels CSV (reference cropzoom.py:423)."""
+    """Crop labeled frames + remap the labels CSV (reference cropzoom.py:423).
+
+    Frames crop in a thread pool (cv2 releases the GIL in imread/imwrite;
+    the reference uses a multiprocessing pool, reference
+    cropzoom.py:178-248). ``num_workers`` defaults to ``min(8, cores)``.
+    """
+    import concurrent.futures as cf
+    import os
+
     input_data_dir = Path(input_data_dir)
     output_data_dir = Path(output_data_dir)
     bbox_df = pd.read_csv(input_bbox_file, index_col=0)
     output_data_dir.mkdir(parents=True, exist_ok=True)
-    for img_rel, row in bbox_df.iterrows():
+
+    def crop_one(item):
+        img_rel, row = item
         img_path = input_data_dir / str(img_rel)
         img = cv2.imread(str(img_path))
         if img is None:
             logger.warning(f"could not read {img_path}; skipping")
-            continue
+            return
         crop = _crop_frame(
             img, int(row["x"]), int(row["y"]), int(row["h"]), int(row["w"])
         )
         out_path = output_data_dir / str(img_rel)
         out_path.parent.mkdir(parents=True, exist_ok=True)
         cv2.imwrite(str(out_path), crop)
+
+    workers = num_workers or max(1, min(8, os.cpu_count() or 1))
+    if workers <= 1:
+        for item in bbox_df.iterrows():
+            crop_one(item)
+    else:
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(crop_one, bbox_df.iterrows()))
     generate_cropped_csv_file(
         input_csv_file=input_csv_file,
         input_bbox_file=input_bbox_file,
