@@ -915,7 +915,9 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     # epoch in ONE device program (lax.scan over the cached step), removing
     # per-step dispatch overhead (cfg.training.scan_epochs: true). Off by
     # default: through this rig's remote-device tunnel the single large
-    # program measured slower than pipelined per-step dispatch, so the win
+    # program measured slower than pipelined per-step dispatch (re-measured
+    # after the round-3 augmentation rewrite: scanned 123.4 ms/step vs
+    # per-step 63.2 ms/step, ResNet-50 bs16 256px dlc aug), so the win
     # is hardware-dependent — validate on a local TPU-VM before enabling.
     # The semi-supervised path needs host video data every step, so it
     # always keeps the per-step loop.
