@@ -170,16 +170,25 @@ class MultiviewHeatmapDataset:
         (reference datasets.py:698-760): labeled-data/<session>_<view>/img.ext
         -> calibrations/<session>.toml, else calibration.toml; disabled
         entirely if any frame has no calibration."""
-        files = []
+        files: list[str | None] = []
+        all_found = True
         for img_name in self.image_names:
             parts = img_name.replace("\\", "/").split("/")
             try:
                 ld_idx = parts.index("labeled-data")
                 folder = parts[ld_idx + 1]
-            except (ValueError, IndexError):
-                return  # not the expected layout; no calibration
+            except (ValueError, IndexError) as err:
+                # malformed layout is an error, not "no calibration"
+                # (reference datasets.py:716-724 raises)
+                raise ValueError(
+                    f"Image path '{img_name}' does not match expected pattern "
+                    "labeled-data/<session>_<view>/img<frameidx>.ext"
+                ) from err
             if "_" not in folder:
-                return
+                raise ValueError(
+                    f"Folder '{folder}' in image path '{img_name}' does not "
+                    "match expected pattern <session>_<view>"
+                )
             session = folder.rsplit("_", 1)[0]
             by_session = os.path.join("calibrations", f"{session}.toml")
             if os.path.exists(os.path.join(self.root_directory, by_session)):
@@ -187,14 +196,21 @@ class MultiviewHeatmapDataset:
             elif os.path.exists(os.path.join(self.root_directory, "calibration.toml")):
                 files.append("calibration.toml")
             else:
-                if files:
-                    logger.warning(
-                        "calibration file not found for some frames; "
-                        "disabling 3D for entire dataset"
-                    )
-                return
+                # keep scanning: a later frame may still have calibration,
+                # in which case the reference warns (datasets.py:740-758)
+                all_found = False
+                files.append(None)
+        found = {f for f in files if f is not None}
+        if found and not all_found:
+            logger.warning(
+                "calibration file not found for some frames; "
+                "disabling 3D for entire dataset"
+            )
+            return
+        if not found:
+            return
         try:
-            for f in set(files):
+            for f in found:
                 self._calib_by_file[f] = self._load_calib_toml(
                     os.path.join(self.root_directory, f)
                 )

@@ -152,6 +152,63 @@ def test_discovery_from_image_paths(cfg, mv_data_dir, tmp_path):
     assert "intrinsic_matrix" not in ds_plain[0]
 
 
+def _bare_mv_dataset(root, image_names, do_context=False):
+    """Minimal MultiviewHeatmapDataset shell for unit-testing the pure
+    discovery logic (the reference tests DALI post-processing the same
+    way, reference data/dali.py:215-224 object.__new__ pattern)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    ds = object.__new__(MultiviewHeatmapDataset)
+    ds.root_directory = str(root)
+    ds.image_names = list(image_names)
+    ds.view_names = ["top", "bot"]
+    ds.do_context = do_context
+    ds.camera_params = None
+    ds._calib_by_file = {}
+    ds._calib_file_per_frame = None
+    return ds
+
+
+def test_discovery_malformed_path_raises(tmp_path):
+    """Paths not under labeled-data/<session>_<view>/ are an error, not
+    silently treated as "no calibration" (reference datasets.py:716-730)."""
+    ds = _bare_mv_dataset(tmp_path, ["imgs/img000.png"])
+    with pytest.raises(ValueError, match="labeled-data"):
+        ds._discover_cam_params_from_image_paths()
+
+    ds = _bare_mv_dataset(tmp_path, ["labeled-data/noview/img000.png"])
+    with pytest.raises(ValueError, match="<session>_<view>"):
+        ds._discover_cam_params_from_image_paths()
+
+
+def test_discovery_partial_calibration_disables_3d(tmp_path, caplog):
+    """Some sessions calibrated, some not: warn and disable 3D for the
+    whole dataset instead of failing (reference datasets.py:740-760)."""
+    import logging
+
+    (tmp_path / "calibrations").mkdir()
+    _write_toml(tmp_path / "calibrations" / "sessA.toml")
+    names = [
+        "labeled-data/sessA_top/img000.png",
+        "labeled-data/sessB_top/img000.png",  # no sessB.toml, no fallback
+    ]
+    ds = _bare_mv_dataset(tmp_path, names)
+    with caplog.at_level(logging.WARNING):
+        ds._discover_cam_params_from_image_paths()
+    assert not ds.is_calibrated
+    assert any("disabling 3D" in r.message for r in caplog.records)
+
+    # with the root-level fallback present, every frame resolves
+    _write_toml(tmp_path / "calibration.toml")
+    ds2 = _bare_mv_dataset(tmp_path, names)
+    ds2._discover_cam_params_from_image_paths()
+    assert ds2.is_calibrated
+    assert ds2._calib_file_per_frame == [
+        os.path.join("calibrations", "sessA.toml"),
+        "calibration.toml",
+    ]
+
+
 @pytest.mark.slow
 def test_train_multiview_3d_losses_from_anipose_calibration(
     cfg, mv_data_dir, tmp_path
