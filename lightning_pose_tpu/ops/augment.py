@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["AugmentationEngine", "grid_sample_bilinear"]
+__all__ = ["AugmentationEngine", "grid_sample_bilinear", "warp_bilinear"]
 
 
 # ------------------------------------------------------------------------------
@@ -73,6 +73,25 @@ def grid_sample_bilinear(images: jax.Array, coords: jax.Array) -> jax.Array:
         + v10 * (1 - wx) * wy
         + v11 * wx * wy
     )
+
+
+def warp_bilinear(images: jax.Array, coords: jax.Array) -> jax.Array:
+    """``grid_sample_bilinear`` with the TPU fast path.
+
+    On TPU with %128-aligned dims the 4-tap gather (per-element on TPU,
+    ~39 ms at bs16/256px — the augmentation bottleneck) is replaced by the
+    one-hot-matmul Pallas kernel (ops/pallas_warp.py); identical zero-pad
+    bilinear semantics up to bf16 weight rounding.
+    """
+    if jax.default_backend() == "tpu":
+        from lightning_pose_tpu.ops.pallas_warp import (
+            pallas_warp_supported,
+            warp_bilinear_pallas,
+        )
+
+        if pallas_warp_supported(images.shape, coords.shape):
+            return warp_bilinear_pallas(images, coords)
+    return grid_sample_bilinear(images, coords)
 
 
 def _separable_gaussian_blur(field: jax.Array, sigma: float) -> jax.Array:
@@ -198,23 +217,33 @@ def _equalize_hist(images: jax.Array, clip_limit: jax.Array | None = None) -> ja
     With ``clip_limit`` (multiple of the mean bin count), histogram bins are
     clipped and the excess redistributed — a global approximation of CLAHE.
 
-    TPU note: both the histogram and the LUT application run as fused
-    256-iteration compare/accumulate loops over the pixel array — scatter
-    (bincount) and per-pixel gather (take_along_axis) lower to serial
-    element ops on TPU and measured ~2x slower than this form.
+    TPU note: scatter (bincount) / per-pixel gather (take_along_axis)
+    lower to serial element ops on TPU, and 256-bin compare/accumulate
+    loops cost ~805M VPU compares at bs16/256px (~7-10 ms). Instead the
+    8-bit value splits into two nibbles whose 16-wide one-hots outer-multiply
+    to the exact 256-bin one-hot, so BOTH the histogram and the LUT apply
+    become MXU matmuls over 16-wide one-hot operands:
+
+        counts[hi, lo] = sum_i oh_hi[i, hi] * oh_lo[i, lo]     (contraction
+                         over pixels — exact 0/1 products, f32 accum)
+        eq[i] = sum_lo (oh_hi @ lut2)[i, lo] * oh_lo[i, lo]    (lut2 is the
+                         LUT reshaped (16, 16))
+
+    Constructing the (N, 16) one-hots costs 16x fewer compares than the
+    256-bin forms; lut values ride bf16 (<=0.5 gray rounding, below cv2's
+    equalizeHist integer rounding).
     """
     b, h, w, c = images.shape
     vals = jnp.clip(images, 0, 255).astype(jnp.int32)
-    flat = vals.transpose(0, 3, 1, 2).reshape(b, c, -1)
+    flat = vals.transpose(0, 3, 1, 2).reshape(b, c, -1)  # (B, C, N)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((flat[..., None] >> 4) == nib).astype(jnp.bfloat16)  # (B,C,N,16)
+    oh_lo = ((flat[..., None] & 15) == nib).astype(jnp.bfloat16)
 
-    def count_body(k, acc):
-        return acc.at[..., k].set(
-            jnp.sum(flat == k, axis=-1).astype(jnp.float32)
-        )
-
-    counts = jax.lax.fori_loop(
-        0, 256, count_body, jnp.zeros((b, c, 256), jnp.float32)
-    )
+    counts = jnp.einsum(
+        "bcnh,bcnl->bchl", oh_hi, oh_lo,
+        preferred_element_type=jnp.float32,
+    ).reshape(b, c, 256)  # exact: 0/1 products accumulated in f32
     if clip_limit is not None:
         limit = clip_limit[:, None, None] * jnp.mean(counts, axis=-1, keepdims=True)
         excess = jnp.sum(jnp.maximum(counts - limit, 0.0), axis=-1, keepdims=True)
@@ -224,12 +253,12 @@ def _equalize_hist(images: jax.Array, clip_limit: jax.Array | None = None) -> ja
     denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
     lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0, 255)  # (B, C, 256)
 
-    def apply_body(k, eq):
-        return eq + jnp.where(flat == k, lut[..., k][..., None], 0.0)
-
-    eq = jax.lax.fori_loop(
-        0, 256, apply_body, jnp.zeros(flat.shape, jnp.float32)
-    )
+    lut2 = lut.reshape(b, c, 16, 16).astype(jnp.bfloat16)
+    rows = jnp.einsum(
+        "bcnh,bchl->bcnl", oh_hi, lut2,
+        preferred_element_type=jnp.float32,
+    )  # (B, C, N, 16): LUT row selected by the high nibble
+    eq = jnp.sum(rows * oh_lo.astype(jnp.float32), axis=-1)  # (B, C, N)
     return eq.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
@@ -456,23 +485,33 @@ class AugmentationEngine:
         self.identity = all(v is None for v in self.spec.values()) and not hflip
         self._call = jax.jit(self._augment)
 
-    def __call__(self, rng: jax.Array, images: jax.Array, keypoints: jax.Array):
+    def __call__(
+        self,
+        rng: jax.Array,
+        images: jax.Array,
+        keypoints: jax.Array,
+        visibility: jax.Array | None = None,
+    ):
         """images (B, H, W, 3) or (B, T, H, W, 3) uint8/float 0-255;
-        keypoints (B, K, 2).
+        keypoints (B, K, 2); optional visibility (B, K) 0/1/2 flags.
 
         Context stacks (5D input) receive ONE transform per sample applied
         to all T frames (the reference seeds imgaug identically per frame,
         reference datasets.py:292-300).
 
-        Returns (augmented images 0-255 float32, transformed keypoints).
+        Returns (augmented images 0-255 float32, transformed keypoints), plus
+        the visibility — reindexed through the hflip swap on flipped samples,
+        lockstep with the keypoints (reference datasets.py:338) — when one
+        was passed.
         """
         if self.identity:
-            return images.astype(jnp.float32), keypoints
-        return self._call(rng, images, keypoints)
+            out = (images.astype(jnp.float32), keypoints)
+            return out if visibility is None else (*out, visibility)
+        return self._call(rng, images, keypoints, visibility)
 
     # everything below runs traced -------------------------------------------------
 
-    def _augment(self, rng, images, keypoints):
+    def _augment(self, rng, images, keypoints, visibility=None):
         if images.ndim == 5:
             bsz, t = images.shape[0], images.shape[1]
             images = images.reshape(bsz * t, *images.shape[2:])
@@ -587,7 +626,7 @@ class AugmentationEngine:
                 (coords[..., 0:1] >= -0.5) & (coords[..., 0:1] <= w - 0.5)
                 & (coords[..., 1:2] >= -0.5) & (coords[..., 1:2] <= h - 0.5)
             ).astype(images.dtype)
-            warped = grid_sample_bilinear(images, clamped)
+            warped = warp_bilinear(images, clamped)
             bt, c_ = warped.shape[0], warped.shape[-1]
             # per-image kernels via channel groups: (1, H, W, B*T*C) input,
             # one k x k kernel per group
@@ -608,7 +647,7 @@ class AugmentationEngine:
                 blurred.reshape(h, w, bt, c_).transpose(2, 0, 1, 3) * in_bounds
             )
         else:
-            warped = grid_sample_bilinear(images, coords)
+            warped = warp_bilinear(images, coords)
 
         # keypoints through the forward matrix
         kp_h = jnp.concatenate(
@@ -625,6 +664,12 @@ class AugmentationEngine:
         if self.hflip and self.swap_indices is not None:
             swapped = kp_new[:, self.swap_indices, :]
             kp_new = jnp.where(flip[:, None, None], swapped, kp_new)
+            if visibility is not None:
+                # visibility flags ride the same identity swap as the
+                # keypoints (reference datasets.py:338)
+                visibility = jnp.where(
+                    flip[:, None], visibility[:, self.swap_indices], visibility
+                )
         # keypoints warped out of the frame are lost (imgaug removes them);
         # mark with NaN so heatmap targets become zero maps
         nan_mask = (keypoints != keypoints).any(axis=-1, keepdims=True)
@@ -699,4 +744,6 @@ class AugmentationEngine:
 
         if t > 1:
             out = out.reshape(bsz, t, h, w, -1)
-        return out, kp_new
+        if visibility is None:
+            return out, kp_new
+        return out, kp_new, visibility

@@ -21,7 +21,7 @@ from lightning_pose_tpu.data.cameras import (
     project_3d_to_2d,
     project_camera_pairs_to_3d,
 )
-from lightning_pose_tpu.ops.augment import grid_sample_bilinear
+from lightning_pose_tpu.ops.augment import warp_bilinear
 
 __all__ = ["apply_3d_transforms", "fit_similarity_transform"]
 
@@ -148,20 +148,23 @@ def apply_3d_transforms(
     kp_new = jax.vmap(jax.vmap(to_model))(frame_to_model, kp_new_frame)
     kp_new = jnp.where(jnp.isnan(kp_views), jnp.nan, kp_new)
 
-    # fit a per-(sample, view) similarity warp old -> new and warp images
-    def per_view(img, kp_old, kp_nv):
-        m = fit_similarity_transform(kp_old, kp_nv)
-        inv = jnp.linalg.inv(m)
-        ys, xs = jnp.meshgrid(
-            jnp.arange(h, dtype=jnp.float32),
-            jnp.arange(w, dtype=jnp.float32),
-            indexing="ij",
-        )
-        grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
-        coords = jnp.einsum("ij,hwj->hwi", inv, grid)[..., :2]
-        return grid_sample_bilinear(img[None], coords[None])[0]
+    # fit a per-(sample, view) similarity warp old -> new, then warp all
+    # (B*V) images in ONE batched sample so the TPU matmul warp kernel
+    # applies (vmapped per-image gathers are the TPU bottleneck)
+    def per_view_inverse(kp_old, kp_nv):
+        return jnp.linalg.inv(fit_similarity_transform(kp_old, kp_nv))
 
-    warped = jax.vmap(jax.vmap(per_view))(images, kp_old_model, kp_new)
+    invs = jax.vmap(jax.vmap(per_view_inverse))(kp_old_model, kp_new)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    coords = jnp.einsum("bvij,hwj->bvhwi", invs, grid)[..., :2]
+    warped = warp_bilinear(
+        images.reshape(b * v, h, w, -1), coords.reshape(b * v, h, w, 2)
+    ).reshape(images.shape)
 
     # only apply for selected samples
     apply_img = apply[:, None, None, None, None]

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lightning_pose_tpu.ops.augment import grid_sample_bilinear
+from lightning_pose_tpu.ops.augment import warp_bilinear
 
 __all__ = ["augment_video_sequence"]
 
@@ -64,7 +64,7 @@ def augment_video_sequence(
         grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
         coords = jnp.einsum("ij,hwj->hwi", inverse, grid)[..., :2]
         coords = jnp.broadcast_to(coords[None], (t, h, w, 2))
-        frames = grid_sample_bilinear(frames, coords)
+        frames = warp_bilinear(frames, coords)
         transforms = jnp.broadcast_to(forward[None], (t, 2, 3))
     else:
         eye = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)

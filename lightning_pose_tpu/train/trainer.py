@@ -391,9 +391,14 @@ def make_step_fns(
             images = imgs_aug.reshape(bsz, v_, *imgs_aug.shape[1:])
             keypoints = kp_aug.reshape(bsz, -1, 2)
         else:
-            images, keypoints = augmenter(
-                aug_rng, batch["images"], batch["keypoints"]
+            # single-view: visibility rides the engine so hflip swaps the
+            # 0/1/2 flags lockstep with the keypoint identities (reference
+            # datasets.py:338); multiview datasets use identity swaps
+            images, keypoints, vis_aug = augmenter(
+                aug_rng, batch["images"], batch["keypoints"],
+                batch["visibility"],
             )
+            batch = dict(batch, visibility=vis_aug)
         visibility = _effective_visibility(keypoints, batch["visibility"])
         images = normalize_images(images)
 

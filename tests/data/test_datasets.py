@@ -77,6 +77,28 @@ def test_no_visibility_column(visibility_data_dir):
     assert (ds[0]["visibility"] == 2).all()
 
 
+def test_occluded_with_coords_warns(visibility_data_dir, caplog):
+    """visible=1 keypoints carrying non-NaN coordinates log a warning; the
+    flag wins and a uniform heatmap is generated (reference
+    test_datasets.py:1255-1276)."""
+    import logging
+
+    (visibility_data_dir / "occ.csv").write_text(
+        "scorer,s,s,s\n"
+        "bodyparts,kp1,kp1,kp1\n"
+        "coords,x,y,visible\n"
+        "img01.png,24.0,24.0,1\n"
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="lightning_pose_tpu.data.datasets"
+    ):
+        HeatmapDataset(
+            root_directory=str(visibility_data_dir), csv_path="occ.csv",
+            image_resize_height=128, image_resize_width=128,
+        )
+    assert any("visible=1" in r.message for r in caplog.records)
+
+
 def test_invalid_visibility_value_raises(visibility_data_dir):
     (visibility_data_dir / "bad.csv").write_text(
         "scorer,s,s,s\n"

@@ -92,6 +92,30 @@ def test_hflip_swaps_keypoints(rng):
     assert 0 < flipped_count < 64
 
 
+def test_hflip_swaps_visibility_with_keypoints(rng):
+    """Visibility flags must ride the same _left/_right identity swap as the
+    keypoints on flipped samples (reference datasets.py:338)."""
+    imgs = rng.integers(0, 255, size=(64, 32, 32, 3)).astype(np.uint8)
+    kps = np.tile(
+        np.array([[[4.0, 10.0], [20.0, 10.0]]], dtype=np.float32), (64, 1, 1)
+    )
+    vis = np.tile(np.array([[2, 1]], dtype=np.int32), (64, 1))
+    swap = np.array([1, 0])
+    eng = AugmentationEngine("none", 32, 32, hflip=True, hflip_swap_indices=swap)
+    _, out_kps, out_vis = eng(
+        jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(kps),
+        jnp.asarray(vis),
+    )
+    out_kps, out_vis = np.asarray(out_kps), np.asarray(out_vis)
+    flipped = ~np.isclose(out_kps[:, 0, 0], kps[:, 0, 0], atol=1e-3)
+    assert 0 < flipped.sum() < 64
+    np.testing.assert_array_equal(out_vis[flipped], vis[flipped][:, ::-1])
+    np.testing.assert_array_equal(out_vis[~flipped], vis[~flipped])
+    # without visibility the engine still returns a 2-tuple
+    out2 = eng(jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(kps))
+    assert len(out2) == 2
+
+
 def test_grid_sample_identity(rng):
     imgs = rng.uniform(0, 255, size=(1, 16, 16, 3)).astype(np.float32)
     ys, xs = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")

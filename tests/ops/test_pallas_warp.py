@@ -1,0 +1,73 @@
+"""Pallas one-hot-matmul warp vs the reference 4-tap gather
+(ops/pallas_warp.py; interpret mode on CPU). Tolerance covers bf16
+interpolation-weight rounding on 0-255 pixel data (<1 gray level —
+below cv2's own 5-bit fixed-point bilinear quantization)."""
+
+import numpy as np
+import pytest
+
+from lightning_pose_tpu.ops.augment import grid_sample_bilinear
+from lightning_pose_tpu.ops.pallas_warp import (
+    pallas_warp_supported,
+    warp_bilinear_pallas,
+)
+
+
+def _affine_coords(b, h, w, theta, jitter=None, rng=None):
+    ys, xs = np.meshgrid(
+        np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32),
+        indexing="ij",
+    )
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    px = np.cos(theta) * (xs - cx) - np.sin(theta) * (ys - cy) + cx
+    py = np.sin(theta) * (xs - cx) + np.cos(theta) * (ys - cy) + cy
+    coords = np.stack([np.stack([px, py], -1)] * b).astype(np.float32)
+    if jitter:
+        coords = coords + rng.uniform(-jitter, jitter, coords.shape).astype(
+            np.float32
+        )
+    return coords
+
+
+@pytest.mark.parametrize("h,w,theta", [(128, 128, 0.0), (128, 256, 0.35),
+                                       (256, 128, -0.45)])
+def test_matches_gather_affine(rng, h, w, theta):
+    b = 2
+    img = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    coords = _affine_coords(b, h, w, theta)
+    ref = np.asarray(grid_sample_bilinear(img, coords))
+    out = np.asarray(warp_bilinear_pallas(img, coords, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1.5)
+    # rotation pushes corners out of frame: zero-pad semantics must agree
+    if theta:
+        assert (ref == 0).any()
+        np.testing.assert_array_equal(out[ref == 0] == 0, ref[ref == 0] == 0)
+
+
+def test_matches_gather_elastic_coords(rng):
+    """Arbitrary smooth per-pixel coords (the fused affine+elastic grid)."""
+    b, h, w = 2, 128, 128
+    img = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    coords = _affine_coords(b, h, w, 0.2, jitter=8.0, rng=rng)
+    ref = np.asarray(grid_sample_bilinear(img, coords))
+    out = np.asarray(warp_bilinear_pallas(img, coords, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1.5)
+
+
+def test_identity_warp_is_near_exact(rng):
+    """Integer positions have exact one-hot weights: identity warp returns
+    the image to bf16-value rounding (<=0.5 gray at 255)."""
+    b, h, w = 1, 128, 128
+    img = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    coords = _affine_coords(b, h, w, 0.0)
+    out = np.asarray(warp_bilinear_pallas(img, coords, interpret=True))
+    np.testing.assert_allclose(out, img, atol=1.0)
+
+
+def test_supported_predicate():
+    assert pallas_warp_supported((4, 256, 256, 3), (4, 256, 256, 2))
+    assert pallas_warp_supported((4, 128, 384, 3), (4, 128, 384, 2))
+    # unaligned dims, wrong channel count, resized output -> gather fallback
+    assert not pallas_warp_supported((4, 250, 256, 3), (4, 250, 256, 2))
+    assert not pallas_warp_supported((4, 256, 256, 1), (4, 256, 256, 2))
+    assert not pallas_warp_supported((4, 256, 256, 3), (4, 128, 128, 2))
