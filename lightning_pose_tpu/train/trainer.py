@@ -666,6 +666,27 @@ def run_validation_epoch(batches, eval_logs_fn) -> dict[str, float]:
     return {k: v / max(n_total, 1) for k, v in logs_sum.items()}
 
 
+def resolve_scan_epochs(scan_flag, platform: str, has_device_cache: bool,
+                        has_unlabeled: bool) -> bool:
+    """Resolve cfg.training.scan_epochs (auto | true | false) to a bool.
+
+    "auto" scans whole epochs as one lax.scan device program on
+    accelerator backends (where it beats pipelined per-step dispatch:
+    31.1 vs 47.7 ms/step measured on v5e after the Pallas augmentation
+    kernels) and keeps the per-step loop on CPU, where the scanned
+    program's per-epoch-length recompiles dominate. Scanning requires the
+    labeled device cache and is never used for semi-supervised training
+    (host video data is needed every step).
+    """
+    if isinstance(scan_flag, str):
+        scan_flag = (
+            platform != "cpu"
+            if scan_flag.lower() == "auto"
+            else scan_flag.lower() == "true"
+        )
+    return bool(scan_flag) and has_device_cache and not has_unlabeled
+
+
 def _write_status(path: Path, status: str, **extra) -> None:
     contents = {"status": status, **extra}
     tmp = str(path) + ".tmp"
@@ -916,20 +937,11 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     if profiler_on:
         jax.profiler.start_trace(version_dir)
 
-    # OPT-IN: fully-supervised device-cache training can scan the whole
-    # epoch in ONE device program (lax.scan over the cached step), removing
-    # per-step dispatch overhead (cfg.training.scan_epochs: true). Off by
-    # default: through this rig's remote-device tunnel the single large
-    # program measured slower than pipelined per-step dispatch (re-measured
-    # after the round-3 augmentation rewrite: scanned 123.4 ms/step vs
-    # per-step 63.2 ms/step, ResNet-50 bs16 256px dlc aug), so the win
-    # is hardware-dependent — validate on a local TPU-VM before enabling.
-    # The semi-supervised path needs host video data every step, so it
-    # always keeps the per-step loop.
-    use_epoch_scan = (
-        bool(cfg.training.get("scan_epochs", False))
-        and device_cache is not None
-        and not hasattr(data_module, "unlabeled_loader")
+    use_epoch_scan = resolve_scan_epochs(
+        cfg.training.get("scan_epochs", "auto"),
+        jax.devices()[0].platform,
+        device_cache is not None,
+        hasattr(data_module, "unlabeled_loader"),
     )
 
     max_train_steps = int(sched_cfg["max_steps"])
