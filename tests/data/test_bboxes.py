@@ -99,3 +99,106 @@ def test_frame_to_model_batch_multiview(rng):
     assert out.shape == (b, v, k, 2)
     exp0 = np.asarray(bboxes.frame_to_model(kp[:, 0], bbox[:, :4], 256.0, 256.0))
     np.testing.assert_allclose(out[:, 0], exp0, rtol=1e-4)
+
+
+# --- exact-value cases mirroring reference tests/data/test_bboxes.py ---
+
+
+def test_frame_to_norm_corners_and_center():
+    """Bbox corners and center map to (0,0), (1,1), (0.5,0.5)
+    (reference test_bboxes.py:21-40)."""
+    for x, y, h, w in [(0.0, 0.0, 100.0, 200.0), (20.0, 30.0, 100.0, 200.0)]:
+        kp = np.array(
+            [[[x, y]], [[x + w, y + h]], [[x + w / 2, y + h / 2]]],
+            dtype=np.float32,
+        )
+        bbox = np.tile(np.array([[x, y, h, w]], np.float32), (3, 1))
+        out = np.asarray(bboxes.frame_to_norm(kp, bbox))
+        np.testing.assert_allclose(
+            out[:, 0], [[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]], atol=1e-6
+        )
+
+
+def test_frame_to_norm_context_corners_and_center():
+    """Context batch (4 extra bbox rows): middle rows govern the transform
+    (reference test_bboxes.py:42-62)."""
+    x, y, h, w = 20.0, 30.0, 100.0, 200.0
+    kp = np.array(
+        [[[x, y]], [[x + w, y + h]], [[x + w / 2, y + h / 2]]], dtype=np.float32
+    )
+    bbox = np.tile(np.array([[x, y, h, w]], np.float32), (7, 1))
+    out = np.asarray(bboxes.frame_to_norm(kp, bbox))
+    np.testing.assert_allclose(
+        out[:, 0], [[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]], atol=1e-6
+    )
+
+
+def test_norm_to_model_corners_and_center():
+    """(0,0)/(1,1)/(.5,.5) -> model corners/center for square and
+    non-square dims (reference test_bboxes.py:137-155)."""
+    kp = np.array([[[0.0, 0.0]], [[1.0, 1.0]], [[0.5, 0.5]]], np.float32)
+    for mw, mh in [(256.0, 256.0), (128.0, 64.0)]:
+        out = np.asarray(bboxes.norm_to_model(kp, mw, mh))
+        np.testing.assert_allclose(
+            out[:, 0], [[0.0, 0.0], [mw, mh], [mw / 2, mh / 2]], atol=1e-5
+        )
+
+
+def test_model_to_norm_corners_and_center():
+    for mw, mh in [(256.0, 256.0), (128.0, 64.0)]:
+        kp = np.array([[[0.0, 0.0]], [[mw, mh]], [[mw / 2, mh / 2]]], np.float32)
+        out = np.asarray(bboxes.model_to_norm(kp, mw, mh))
+        np.testing.assert_allclose(
+            out[:, 0], [[0.0, 0.0], [1.0, 1.0], [0.5, 0.5]], atol=1e-6
+        )
+
+
+def test_frame_to_model_rectangular_dims():
+    """Non-square model dims: exact pixel values
+    (reference test_bboxes.py:516-551)."""
+    kp = np.array(
+        [[[50.0, 25.0]], [[150.0, 75.0]], [[100.0, 50.0]]], dtype=np.float32
+    )
+    bbox = np.tile(np.array([[50.0, 25.0, 50.0, 100.0]], np.float32), (3, 1))
+    out = np.asarray(bboxes.frame_to_model(kp, bbox, 128.0, 64.0))
+    np.testing.assert_allclose(
+        out[:, 0], [[0.0, 0.0], [128.0, 64.0], [64.0, 32.0]], atol=1e-5
+    )
+
+
+def test_model_to_frame_batch_bbox_corners_multiview():
+    """Model (0,0) maps to each view's bbox top-left; (mw,mh) to each
+    view's bottom-right (reference test_bboxes.py:299-324)."""
+    bbox = np.array(
+        [
+            [5.0, 6.0, 100.0, 101.0, 10.0, 11.0, 102.0, 103.0],
+            [0.0, 0.0, 123.0, 124.0, 0.0, 0.0, 3.0, 4.0],
+        ],
+        dtype=np.float32,
+    )
+    kp = np.array(
+        [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0]], dtype=np.float32
+    )
+    out = np.asarray(bboxes.model_to_frame_batch(kp, bbox, 10.0, 10.0, num_views=2))
+    # batch 0: model origin -> bbox top-left per view
+    np.testing.assert_allclose(out[0], [5.0, 6.0, 10.0, 11.0], atol=1e-5)
+    # batch 1: model (10,10) = (mw,mh) -> bbox bottom-right per view
+    np.testing.assert_allclose(
+        out[1],
+        [0.0 + 124.0, 0.0 + 123.0, 0.0 + 4.0, 0.0 + 3.0],
+        atol=1e-4,
+    )
+
+
+def test_pure_functions_do_not_mutate_input():
+    """Functional JAX semantics: inputs never change (the reference
+    documents which torch variants mutate; here none do)."""
+    kp = np.array([[[10.0, 20.0]], [[210.0, 120.0]]], np.float32)
+    bbox = np.tile(np.array([[10.0, 20.0, 100.0, 200.0]], np.float32), (2, 1))
+    kp0, bbox0 = kp.copy(), bbox.copy()
+    bboxes.frame_to_norm(kp, bbox)
+    bboxes.norm_to_frame(kp, bbox)
+    bboxes.frame_to_model(kp, bbox, 256.0, 128.0)
+    bboxes.model_to_frame(kp, bbox, 256.0, 128.0)
+    np.testing.assert_array_equal(kp, kp0)
+    np.testing.assert_array_equal(bbox, bbox0)
