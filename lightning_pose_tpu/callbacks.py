@@ -38,10 +38,13 @@ def patch_mask_ratio(
     end_step: int = 1,
 ):
     """Linear curriculum ramp of the masked-patch fraction
-    (reference callbacks.py:263-310)."""
+    (reference callbacks.py:333-345): exactly 0 before ``start_step``
+    (no masking pre-curriculum even when ``init_ratio > 0``), then
+    ``init_ratio`` ramping linearly to ``final_ratio`` at ``end_step``."""
     span = max(end_step - start_step, 1)
     frac = jnp.clip((step - start_step) / span, 0.0, 1.0)
-    return init_ratio + frac * (final_ratio - init_ratio)
+    ramp = init_ratio + frac * (final_ratio - init_ratio)
+    return jnp.where(step < start_step, 0.0, ramp)
 
 
 def apply_patch_mask(
@@ -53,14 +56,25 @@ def apply_patch_mask(
     """Zero a random ``ratio`` fraction of ``patch_size`` x ``patch_size``
     patches per image (reference PatchMasker, callbacks.py:313-451).
 
+    Matches the reference's exact-count semantics: each image masks
+    exactly ``floor(ratio * num_patches)`` patches (the reference draws a
+    ``randperm`` prefix per view; here the k lowest of per-patch uniform
+    scores — the same distribution, one sort instead of a Python loop).
+
     Args:
         images: ``(B, H, W, C)`` float images.
         ratio: scalar in [0, 1] (may be traced).
     """
     b, h, w, _ = images.shape
     gh, gw = h // patch_size, w // patch_size
-    scores = jax.random.uniform(rng, (b, gh, gw, 1))
-    keep = scores >= ratio
+    num_patches = gh * gw
+    scores = jax.random.uniform(rng, (b, num_patches))
+    n_mask = jnp.floor(ratio * num_patches).astype(jnp.int32)
+    # threshold at the k-th order statistic: the k lowest scores are masked
+    sorted_scores = jnp.sort(scores, axis=-1)
+    thresh = sorted_scores[:, jnp.clip(n_mask, 0, num_patches - 1)]
+    keep = (scores >= thresh[:, None]) & (n_mask < num_patches)
+    keep = keep.reshape(b, gh, gw, 1)
     keep = jax.image.resize(
         keep.astype(images.dtype), (b, h, w, 1), method="nearest"
     )
