@@ -64,20 +64,27 @@ class ModelConfig:
         cfg = self.cfg
         self.validate_steps_vs_epochs()
 
-        # resize dims must be multiples of 128 (reference model_config.py)
-        h = cfg.data.image_resize_dims.get("height")
-        w = cfg.data.image_resize_dims.get("width")
-        if h is None or w is None:
-            raise InvalidConfig("data.image_resize_dims height/width must be set")
-        if h % 128 != 0 or w % 128 != 0:
-            raise InvalidConfig(
-                f"image_resize_dims ({h}, {w}) must each be a multiple of 128"
-            )
+        # resize dims, if set, must be multiples of 128 (reference
+        # model_config.py:171-176 skips unset dims)
+        for dim in ("height", "width"):
+            val = cfg.data.image_resize_dims.get(dim)
+            if val is not None and val % 128 != 0:
+                raise InvalidConfig(
+                    f"data.image_resize_dims.{dim} ({val}) must be a "
+                    "multiple of 128"
+                )
 
-        # keypoint counts
+        # keypoint counts (reference model_config.py:150-161: num_keypoints
+        # must be set and positive; names, if set, must match its length)
         num_keypoints = cfg.data.get("num_keypoints")
         keypoint_names = cfg.data.get("keypoint_names")
-        if num_keypoints is not None and keypoint_names is not None:
+        if num_keypoints is None:
+            raise InvalidConfig("data.num_keypoints must be set")
+        if num_keypoints <= 0:
+            raise InvalidConfig(
+                f"data.num_keypoints must be positive, got {num_keypoints}"
+            )
+        if keypoint_names is not None:
             if len(keypoint_names) != num_keypoints:
                 raise InvalidConfig(
                     f"data.num_keypoints ({num_keypoints}) does not match "
@@ -131,12 +138,16 @@ class ModelConfig:
                             f"lr milestone_steps {m} exceeds max_steps {max_steps}"
                         )
 
-        # losses must have numeric log_weights
+        # active losses must have numeric log_weights; a loss with no
+        # cfg.losses entry or a null log_weight is inactive and skipped
+        # (reference model_config.py:275-288)
         for loss_name in cfg.model.get("losses_to_use") or []:
             if loss_name not in cfg.losses:
-                raise InvalidConfig(f"no hyperparameters for loss '{loss_name}'")
+                continue
             lw = cfg.losses[loss_name].get("log_weight")
-            if not isinstance(lw, (int, float)):
+            if lw is None:
+                continue
+            if isinstance(lw, bool) or not isinstance(lw, (int, float)):
                 raise InvalidConfig(
                     f"losses.{loss_name}.log_weight must be numeric, got {lw!r}"
                 )

@@ -134,3 +134,69 @@ def test_reprojection_loss_requires_dlc_imgaug_3d(cfg):
         ModelConfig(c).validate()
     c.training.imgaug_3d = True
     ModelConfig(c).validate()
+
+
+def test_num_keypoints_must_be_set(cfg):
+    c = cfg.copy()
+    c.data.num_keypoints = None
+    c.data.keypoint_names = None
+    with pytest.raises(InvalidConfig, match="num_keypoints must be set"):
+        ModelConfig(c).validate()
+
+
+def test_num_keypoints_must_be_positive(cfg):
+    c = cfg.copy()
+    c.data.num_keypoints = 0
+    c.data.keypoint_names = None
+    with pytest.raises(InvalidConfig, match="positive"):
+        ModelConfig(c).validate()
+
+
+def test_keypoint_names_none_skips_count_check(cfg):
+    c = cfg.copy()
+    c.data.keypoint_names = None
+    ModelConfig(c).validate()
+
+
+def test_resize_dims_none_skipped(cfg):
+    """Unset resize dims pass validation (reference
+    model_config.py:171-176 only checks dims that are set)."""
+    c = cfg.copy()
+    c.data.image_resize_dims.height = None
+    ModelConfig(c).validate()
+
+
+def test_ckpt_every_none_skipped(cfg):
+    c = cfg.copy()
+    c.training.ckpt_every_n_epochs = None
+    ModelConfig(c).validate()
+
+
+def test_missing_loss_cfg_entry_skipped(cfg):
+    """A loss named in losses_to_use with no cfg.losses entry passes
+    validation (it fails later at factory build, like the reference)."""
+    c = cfg.copy()
+    c.model.losses_to_use = ["nonexistent_loss"]
+    ModelConfig(c).validate()
+
+
+def test_null_log_weight_skipped(cfg):
+    """log_weight: null marks the loss inactive; validation passes."""
+    c = cfg.copy()
+    c.model.losses_to_use = ["temporal"]
+    c.losses.temporal.log_weight = None
+    ModelConfig(c).validate()
+
+
+def test_empty_losses_to_use_passes(cfg):
+    c = cfg.copy()
+    c.model.losses_to_use = []
+    ModelConfig(c).validate()
+
+
+def test_milestone_equal_to_max_epochs_passes(cfg):
+    """Reference asserts m <= max_epochs, so equality is allowed."""
+    c = cfg.copy()
+    c.training.max_epochs = 300
+    c.training.lr_scheduler_params.multisteplr.milestones = [300]
+    ModelConfig(c).validate()

@@ -254,3 +254,102 @@ def test_collect_video_files_by_view(tmp_path):
     # count mismatch is rejected up front
     with pytest.raises(AssertionError):
         collect_video_files_by_view([Path("a_top.mp4")], ["top", "bot"])
+
+
+# --- return_absolute_path battery (reference tests/utils/test_io.py:25-77) ---
+
+
+def test_return_absolute_path_unchanged(tmp_path):
+    assert io_utils.return_absolute_path(str(tmp_path)) == str(tmp_path)
+
+
+def test_return_absolute_path_missing_raises(tmp_path):
+    with pytest.raises(OSError):
+        io_utils.return_absolute_path(str(tmp_path / "does_not_exist"))
+
+
+def test_return_absolute_path_relative_from_cwd(tmp_path, monkeypatch):
+    fake_cwd = tmp_path / "a"
+    fake_cwd.mkdir()
+    target = tmp_path / "data"
+    target.mkdir()
+    monkeypatch.chdir(fake_cwd)
+    assert io_utils.return_absolute_path("data", n_dirs_back=1) == str(target)
+
+
+def test_return_absolute_path_relative_missing_raises(tmp_path, monkeypatch):
+    fake_cwd = tmp_path / "a"
+    fake_cwd.mkdir()
+    monkeypatch.chdir(fake_cwd)
+    with pytest.raises(OSError):
+        io_utils.return_absolute_path("nonexistent_dir", n_dirs_back=1)
+
+
+def test_return_absolute_path_multirun_strips_extra_dir(tmp_path, monkeypatch):
+    """Hydra multirun layout: one extra level removed when the resolved
+    parent is named 'multirun' (reference io.py:322-330)."""
+    run_dir = tmp_path / "multirun" / "run1"
+    run_dir.mkdir(parents=True)
+    target = tmp_path / "data"
+    target.mkdir()
+    monkeypatch.chdir(run_dir)
+    assert io_utils.return_absolute_path("data", n_dirs_back=1) == str(target)
+
+
+# --- parse_label_csv error paths (reference tests/utils/test_io.py:682-717) ---
+
+
+def test_parse_label_csv_missing_file_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        io_utils.parse_label_csv(str(tmp_path / "nonexistent.csv"))
+
+
+def test_parse_label_csv_invalid_visibility_raises(tmp_path):
+    content = (
+        "scorer,scorer,scorer,scorer\n"
+        "bodyparts,kp1,kp1,kp1\n"
+        "coords,x,y,visible\n"
+        "labeled-data/img01.png,10.0,20.0,9\n"
+    )
+    p = tmp_path / "bad.csv"
+    p.write_text(content)
+    with pytest.raises(ValueError, match="invalid values"):
+        io_utils.parse_label_csv(str(p))
+
+
+def test_parse_label_csv_single_read(toy_data_dir, monkeypatch):
+    """The CSV is read exactly once (the reference had a double-read bug)."""
+    import pandas as pd
+
+    count = 0
+    orig = pd.read_csv
+
+    def counting(*args, **kwargs):
+        nonlocal count
+        count += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pd, "read_csv", counting)
+    io_utils.parse_label_csv(os.path.join(toy_data_dir, "CollectedData.csv"))
+    assert count == 1
+
+
+def test_parse_label_csv_visibility_values(tmp_path):
+    """visible column round-trips 0/1/2 as int flags and NaN coords stay
+    NaN (reference tests/utils/test_io.py:658-681)."""
+    content = (
+        "scorer,s,s,s,s,s,s\n"
+        "bodyparts,kp1,kp1,kp1,kp2,kp2,kp2\n"
+        "coords,x,y,visible,x,y,visible\n"
+        "labeled-data/img01.png,10.0,20.0,2,30.0,40.0,1\n"
+        "labeled-data/img02.png,,,0,50.0,60.0,2\n"
+    )
+    p = tmp_path / "vis.csv"
+    p.write_text(content)
+    data = io_utils.parse_label_csv(str(p))
+    assert data.keypoints.shape == (2, 2, 2)
+    assert data.visibility is not None
+    assert data.visibility.shape == (2, 2)
+    np.testing.assert_array_equal(data.visibility, [[2, 1], [0, 2]])
+    assert np.isnan(data.keypoints[1, 0]).all()
+    np.testing.assert_allclose(data.keypoints[0, 0], [10.0, 20.0])
