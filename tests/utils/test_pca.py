@@ -214,3 +214,63 @@ def test_nan_pca_whole_row_nan(rng):
     assert out.shape == (40, 2)
     ok_rows = [i for i in range(40) if i != 3]
     assert np.isfinite(out[ok_rows]).all()
+
+
+def test_nan_pca_single_nan_close_to_clean_fit(rng):
+    """One NaN barely perturbs the fit: components (away from zero) and
+    explained variance stay within a few percent; other samples'
+    transforms stay close (reference test_pca.py:234-271)."""
+    base = rng.normal(size=(40, 3)) @ rng.normal(size=(3, 8))
+    data = base + 0.01 * rng.normal(size=(40, 8))
+    clean = nan_pca_fit(data)
+
+    data_nan = data.copy()
+    data_nan[0, 0] = np.nan
+    nan1 = nan_pca_fit(data_nan)
+
+    mask = np.abs(clean["components_"][:3]) > 0.05
+    np.testing.assert_allclose(
+        clean["components_"][:3][mask], nan1["components_"][:3][mask], rtol=1e-1
+    )
+    np.testing.assert_allclose(
+        clean["explained_variance_"][:3], nan1["explained_variance_"][:3], rtol=2e-2
+    )
+    # transforms of untouched rows barely move
+    t_clean = nan_pca_transform(data.copy(), clean["mean_"], clean["components_"][:3])
+    t_nan = nan_pca_transform(data_nan.copy(), nan1["mean_"], nan1["components_"][:3])
+    np.testing.assert_allclose(t_clean[1:], t_nan[1:], atol=1e-2)
+
+
+def test_nan_pca_many_nans_still_recovers_subspace(rng):
+    """10% missing entries: reconstruction of observed values stays
+    accurate (reference test_pca.py:272-324)."""
+    base = rng.normal(size=(200, 3)) @ rng.normal(size=(3, 8))
+    data = base + 0.01 * rng.normal(size=(200, 8))
+    data_nan = data.copy()
+    holes = rng.uniform(size=data.shape) < 0.1
+    data_nan[holes] = np.nan
+    fit = nan_pca_fit(data_nan)
+    comps = fit["components_"][:3]
+    scores = nan_pca_transform(data_nan.copy(), fit["mean_"], comps)
+    recon = scores @ comps + fit["mean_"]
+    obs = ~holes
+    err = np.abs(recon[obs] - data[obs])
+    assert np.nanmedian(err) < 0.05
+
+
+def test_format_multiview_mismatched_lengths_raises(rng):
+    from lightning_pose_tpu.utils.pca import format_multiview_data_for_pca
+
+    data = rng.normal(size=(4, 7, 2))
+    with pytest.raises((AssertionError, ValueError)):
+        format_multiview_data_for_pca(data, [[0, 1, 2, 3], [4, 5, 6]])
+
+
+def test_format_multiview_three_views(rng):
+    from lightning_pose_tpu.utils.pca import format_multiview_data_for_pca
+
+    data = rng.normal(size=(4, 12, 2))
+    out = format_multiview_data_for_pca(
+        data, [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+    )
+    assert out.shape == (4 * 4, 2 * 3)
