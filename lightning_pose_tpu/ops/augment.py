@@ -308,7 +308,7 @@ def build_spec(pipeline: str | dict | None) -> dict:
     (reference augmentations.py:12-106) into the engine's parameter spec.
 
     Each key is an optional transform; None disables it. Unknown transforms
-    in a user dict are skipped with a warning.
+    in a user dict raise (fail fast, like the reference's imgaug getattr).
     """
     spec: dict = {
         "rot90": None,          # {"p", "k": [choices]}
@@ -451,7 +451,17 @@ def build_spec(pipeline: str | dict | None) -> dict:
         elif name == "Resize":
             pass  # images are already resized on host
         else:
-            logger.warning(f"unsupported augmentation transform '{name}'; skipped")
+            # fail fast like the reference (imgaug getattr raises
+            # AttributeError for unknown names, augmentations.py:95):
+            # silently skipping would train under a different augmentation
+            # distribution than the config states
+            raise NotImplementedError(
+                f"unsupported augmentation transform '{name}'; supported "
+                "names: Rot90, Affine, Fliplr, MotionBlur, CoarseDropout, "
+                "CoarseSalt, CoarsePepper, ElasticTransformation, "
+                "AllChannelsHistogramEqualization, AllChannelsCLAHE, "
+                "Emboss, CropAndPad, Resize"
+            )
     return spec
 
 class AugmentationEngine:

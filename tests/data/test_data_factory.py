@@ -1,6 +1,9 @@
 """Dataset / data-module factory dispatch tests
 (reference tests/data/test_factory.py:1-383)."""
 
+from pathlib import Path
+
+import numpy as np
 import pytest
 
 from lightning_pose_tpu.data.datamodules import BaseDataModule
@@ -111,3 +114,50 @@ def test_get_data_module_empty_losses_is_supervised(cfg, toy_data_dir):
     ds = get_dataset(c, toy_data_dir)
     dm = get_data_module(c, ds)
     assert type(dm) is BaseDataModule
+
+
+def test_unknown_augmentation_name_raises(cfg):
+    """A typo'd transform name fails fast instead of silently training
+    under a different distribution (reference test_factory.py:181-187)."""
+    from lightning_pose_tpu.ops.augment import build_spec
+
+    with pytest.raises(NotImplementedError, match="unsupported augmentation"):
+        build_spec({"ResizeD": {"p": 1.0}})
+
+
+def test_bbox_path_default_none(cfg, toy_data_dir):
+    dataset = get_dataset(cfg, toy_data_dir)
+    assert dataset.bboxes is None
+
+
+def test_bbox_path_forwarded_from_config(cfg, toy_data_dir, tmp_path):
+    """data.bbox_file reaches the dataset for heatmap and regression
+    (reference test_factory.py:334-377)."""
+    import pandas as pd
+
+    from lightning_pose_tpu.utils.io import parse_label_csv
+
+    labeled = parse_label_csv(str(Path(toy_data_dir) / "CollectedData.csv"))
+    bbox_df = pd.DataFrame(
+        {
+            "x": 0.0,
+            "y": 0.0,
+            "h": 406.0,
+            "w": 396.0,
+        },
+        index=labeled.image_names,
+    )
+    bbox_csv = tmp_path / "bboxes.csv"
+    bbox_df.to_csv(bbox_csv)
+    for model_type in ["heatmap", "regression"]:
+        c = cfg.copy()
+        c.model.model_type = model_type
+        c.data.bbox_file = str(bbox_csv)
+        dataset = get_dataset(c, toy_data_dir)
+        assert dataset.bboxes is not None
+        assert dataset.bboxes.shape == (len(labeled.image_names), 4)
+        sample = dataset[0]
+        assert "bbox" in sample
+        np.testing.assert_allclose(
+            np.asarray(sample["bbox"]), [0.0, 0.0, 406.0, 396.0]
+        )
