@@ -414,6 +414,15 @@ class Model:
         """Frame-synchronized multiview video inference
         (reference model.py:1225). Returns a
         :class:`~lightning_pose_tpu.data.datatypes.MultiviewPredictionResult`."""
+        if not self.config.is_multi_view():
+            raise ValueError(
+                "this is a single-view model; use predict_on_video_file"
+            )
+        if len(video_file_per_view) != len(self.cfg.data.view_names):
+            raise ValueError(
+                f"got {len(video_file_per_view)} videos for "
+                f"{len(self.cfg.data.view_names)} views"
+            )
         self._load()
         from lightning_pose_tpu.utils.video_predictions import (
             predict_video_multiview,
@@ -442,6 +451,15 @@ class Model:
         """Predict all frames of per-view labeled CSVs
         (reference model.py:1052). ``add_train_val_test_set`` as in
         :meth:`predict_on_label_csv` (reference model.py:1102)."""
+        if not self.config.is_multi_view():
+            raise ValueError(
+                "this is a single-view model; use predict_on_label_csv"
+            )
+        if len(csv_file_per_view) != len(self.cfg.data.view_names):
+            raise ValueError(
+                f"got {len(csv_file_per_view)} CSVs for "
+                f"{len(self.cfg.data.view_names)} views"
+            )
         self._load()
         from lightning_pose_tpu.data.datamodules import BaseDataModule
         from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset

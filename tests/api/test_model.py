@@ -455,3 +455,74 @@ def test_predict_on_video_file_multiview(cfg, mv_data_dir, tmp_path):
     # temporal-norm metric computed per view
     assert result.metrics is not None
     assert result.metrics["top"].temporal_norm_df is not None
+
+
+def test_predict_frame_bbox_clipping(model):
+    """A bbox extending past the frame edge is clipped silently; remapped
+    keypoints stay within the frame (reference test_model.py:255-279)."""
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8).astype(np.uint8)
+    # extends 60px past the right edge: requested width 200, actual 140
+    result = model.predict_frame(frame, bbox=(500, 100, 200, 150))
+    kp, conf = result["keypoints"], result["confidence"]
+    assert kp.dtype == np.float32 and conf.dtype == np.float32
+    assert kp.ndim == 2 and kp.shape[1] == 2
+    assert conf.shape[0] == kp.shape[0]
+    assert np.all(conf >= 0) and np.all(conf <= 1)
+    # predictions live inside the clipped crop, hence inside the frame
+    assert np.all(kp[:, 0] >= 500 - 1) and np.all(kp[:, 0] <= 641)
+    assert np.all(kp[:, 1] >= 100 - 1) and np.all(kp[:, 1] <= 481)
+
+
+def test_predict_on_label_csv_does_not_mutate_cfg(model, toy_data_dir, tmp_path):
+    """The train_prob/val_prob override used to mark every frame 'train'
+    must not leak into the live model config (reference
+    test_model.py:377-407)."""
+    def snapshot():
+        d = model.cfg.to_dict(resolve=True)
+        d.pop("hydra", None)  # ${now:} interpolation re-resolves each call
+        return d
+
+    before = snapshot()
+    model.predict_on_label_csv(
+        "CollectedData.csv",
+        data_dir=toy_data_dir,
+        compute_metrics=False,
+        output_dir=tmp_path / "noleak",
+    )
+    assert snapshot() == before
+
+
+def test_multiview_predict_wrong_count_raises(cfg, mv_data_dir, tmp_path):
+    """Wrong per-view CSV/video counts raise before any compute
+    (reference test_model.py:338-355)."""
+    from lightning_pose_tpu.api.model import Model
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = [
+        "paw1LH", "paw2LF", "paw3RF", "paw4RH", "tailBase", "tailMid", "nose",
+    ]
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.model.model_name = "mvcount"
+    mdir = tmp_path / "mv_model"
+    mdir.mkdir()
+    c.save(str(mdir / "config.yaml"))
+    m = Model.from_dir(mdir)
+    with pytest.raises(ValueError, match="views"):
+        m.predict_on_label_csv_multiview(["top.csv"])
+    with pytest.raises(ValueError, match="views"):
+        m.predict_on_video_file_multiview(["only_one.mp4"])
+
+
+def test_singleview_model_rejects_multiview_predict(model):
+    """Multiview entry points raise on a single-view model (reference
+    test_model.py:333-348)."""
+    with pytest.raises(ValueError, match="single-view"):
+        model.predict_on_label_csv_multiview(["a.csv", "b.csv"])
+    with pytest.raises(ValueError, match="single-view"):
+        model.predict_on_video_file_multiview(["a.mp4", "b.mp4"])
