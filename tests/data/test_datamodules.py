@@ -173,3 +173,46 @@ def test_unlabeled_data_module_pairs_batches(cfg, toy_data_dir_module):
         assert n == 3
     finally:
         dm.close()
+
+
+def test_split_sizes_edge_cases():
+    """Extra floored samples go to test when >=5; one labeled frame raises
+    (reference tests/data/test_utils.py:7-57)."""
+    from lightning_pose_tpu.data.datamodules import split_sizes_from_probabilities
+
+    assert split_sizes_from_probabilities(101, 0.7) == (70, 15, 16)
+    assert split_sizes_from_probabilities(100, 0.7) == (70, 15, 15)
+    with pytest.raises(ValueError):
+        split_sizes_from_probabilities(1, 0.95)
+
+
+def test_train_frames_semantics(dataset):
+    """train_frames: None/1/too-large -> all; int -> count; fraction ->
+    floor(frac*n); <=0 raises (reference tests/data/test_utils.py:85-119
+    compute_num_train_frames)."""
+    from lightning_pose_tpu.data.datamodules import BaseDataModule
+
+    full = BaseDataModule(dataset=dataset, train_probability=0.8, torch_seed=0)
+    n_train = len(full.train_dataset.indices)
+
+    for tf, expect in [
+        (None, n_train),
+        (1, n_train),
+        (n_train + 10, n_train),
+        (5, 5),
+        (0.5, n_train // 2),
+        (0.2, max(1, int(np.floor(0.2 * n_train)))),
+    ]:
+        dm = BaseDataModule(
+            dataset=dataset, train_probability=0.8, torch_seed=0, train_frames=tf
+        )
+        assert len(dm.train_dataset.indices) == expect, tf
+        # val/test splits unaffected by subsampling
+        np.testing.assert_array_equal(
+            dm.val_dataset.indices, full.val_dataset.indices
+        )
+
+    with pytest.raises(ValueError):
+        BaseDataModule(
+            dataset=dataset, train_probability=0.8, torch_seed=0, train_frames=-1
+        )
