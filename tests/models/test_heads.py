@@ -86,3 +86,85 @@ def test_run_subpixelmaxima_decodes_peak(df):
     np.testing.assert_allclose(preds, kp_img, atol=1.0)
     assert confs.shape == (1, 2)
     assert (confs > 0.5).all() and (confs <= 1.0 + 1e-6).all()
+
+
+# -- MHCRNN head units (reference tests/models/heads/test_heatmap_mhcrnn.py) --
+
+
+def test_upsampling_crnn_output_normalized():
+    """CRNN output is spatial-softmaxed: per-keypoint maps sum to 1
+    (reference test_heatmap_mhcrnn.py:209)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.models.heads.heatmap_mhcrnn import UpsamplingCRNN
+
+    crnn = UpsamplingCRNN(num_filters_for_upsampling=64, num_keypoints=3)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (5, 2, 8, 8, 64))
+    variables = crnn.init(jax.random.PRNGKey(1), feats)
+    out = crnn.apply(variables, feats)
+    assert out.shape[0] == 2 and out.shape[-1] == 3
+    sums = np.asarray(out).sum(axis=(1, 2))
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("upsampling_factor,expected_hw", [(2, 64), (1, 32)])
+def test_upsampling_crnn_output_dims(upsampling_factor, expected_hw):
+    """upsampling_factor 2 adds one extra 2x deconv stage before the RNN
+    (reference test_heatmap_mhcrnn.py:165-207): 8 -> 2x pixel-shuffle ->
+    [2x W_pre] -> 2x W_f/W_b = 32 or 64."""
+    import jax
+
+    from lightning_pose_tpu.models.heads.heatmap_mhcrnn import UpsamplingCRNN
+
+    crnn = UpsamplingCRNN(
+        num_filters_for_upsampling=64,
+        num_keypoints=4,
+        upsampling_factor=upsampling_factor,
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(0), (5, 1, 8, 8, 64))
+    variables = crnn.init(jax.random.PRNGKey(1), feats)
+    out = crnn.apply(variables, feats)
+    assert out.shape == (1, expected_hw, expected_hw, 4)
+    if upsampling_factor == 1:
+        assert "W_pre" not in variables["params"]
+    else:
+        assert "W_pre" in variables["params"]
+
+
+def test_mhcrnn_head_sf_uses_middle_frame():
+    """The single-frame head sees exactly the middle context frame: output
+    is invariant to changing the edge frames (reference
+    heatmap_mhcrnn.py:154 takes frames[:, 2])."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.models.heads.heatmap_mhcrnn import HeatmapMHCRNNHead
+
+    head = HeatmapMHCRNNHead(
+        backbone_arch="resnet18", in_channels=64, out_channels=3
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8, 8, 64))
+    variables = head.init(jax.random.PRNGKey(1), feats)
+    sf0, mf0 = head.apply(variables, feats)
+    perturbed = feats.at[:, 0].add(1.0).at[:, 4].add(-1.0)
+    sf1, mf1 = head.apply(variables, perturbed)
+    np.testing.assert_allclose(np.asarray(sf0), np.asarray(sf1), atol=1e-6)
+    assert not np.allclose(np.asarray(mf0), np.asarray(mf1), atol=1e-4)
+
+
+def test_mhcrnn_crnn_is_bidirectional():
+    """Perturbing only the first frame changes the output (backward pass
+    reaches it), as does perturbing only the last (forward pass)."""
+    import jax
+
+    from lightning_pose_tpu.models.heads.heatmap_mhcrnn import UpsamplingCRNN
+
+    crnn = UpsamplingCRNN(num_filters_for_upsampling=64, num_keypoints=2)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (5, 1, 8, 8, 64))
+    variables = crnn.init(jax.random.PRNGKey(1), feats)
+    base = np.asarray(crnn.apply(variables, feats))
+    first = np.asarray(crnn.apply(variables, feats.at[0].add(2.0)))
+    last = np.asarray(crnn.apply(variables, feats.at[4].add(2.0)))
+    assert not np.allclose(base, first, atol=1e-5)
+    assert not np.allclose(base, last, atol=1e-5)
