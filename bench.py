@@ -199,10 +199,23 @@ def bench_device() -> dict:
 
     n_frames = n_batches * SEQ_LEN
     fps = n_frames / elapsed
-    flops = _compiled_flops(run_all.lower(variables, frames_dev, bbox).compile())
+
+    # XLA cost analysis counts a lax.scan body ONCE (trip count is opaque
+    # to HloCostAnalysis), so measure the single-batch program and scale
+    # by the number of scanned batches
+    @jax.jit
+    def run_one(variables, frames, bbox):
+        images = normalize_images(frames.astype(jnp.float32))
+        heatmaps = model.apply(variables, images, train=False)
+        preds, confs = model.decode(heatmaps, fast=True)
+        return bboxes_mod.model_to_frame_batch(preds, bbox, SIZE, SIZE), confs
+
+    flops_one = _compiled_flops(
+        run_one.lower(variables, frames_dev[0], bbox).compile()
+    )
     mfu = None
-    if flops:
-        mfu = (flops / elapsed) / _device_peak_flops() * 100.0
+    if flops_one:
+        mfu = (flops_one * n_batches / elapsed) / _device_peak_flops() * 100.0
     return {"fps": fps, "frames": n_frames, "sec": elapsed, "mfu_pct": mfu}
 
 
@@ -266,7 +279,7 @@ def bench_train() -> dict:
         "num_keypoints": num_keypoints,
         "image_size": SIZE,
     }
-    *_, train_epoch_cached = make_step_fns(
+    *_, train_step_cached, train_epoch_cached = make_step_fns(
         model, meta, loss_factories, augmenter, cfg, tx, 100
     )
 
@@ -296,11 +309,14 @@ def bench_train() -> dict:
     valid_dev = jax.device_put(valid_all)
     step_rng = jax.random.PRNGKey(1)
 
-    flops = _compiled_flops(
-        train_epoch_cached.lower(
-            state, cache, idxs_dev, valid_dev, step_rng
+    # XLA cost analysis counts the lax.scan body once, so take the FLOPs
+    # of ONE cached train step and scale by the scan length
+    flops_step = _compiled_flops(
+        train_step_cached.lower(
+            state, cache, idxs_dev[0], valid_dev[0], step_rng, {}
         ).compile()
     )
+    flops = flops_step * n_steps if flops_step else None
 
     # warmup (compile + first run); state is donated so chain it through
     state, logs = train_epoch_cached(state, cache, idxs_dev, valid_dev, step_rng)
