@@ -43,6 +43,7 @@ class ModelConfig:
     def test_video_files_singleview(self) -> list[str]:
         from lightning_pose_tpu.utils.io import get_videos_in_dir
 
+        assert self.is_single_view(), "Use test_video_files_multiview for multi-view"
         video_dir = self.cfg.eval.get("test_videos_directory")
         if not video_dir or not os.path.isdir(str(video_dir)):
             return []
@@ -51,6 +52,7 @@ class ModelConfig:
     def test_video_files_multiview(self) -> list[list[Path]]:
         from lightning_pose_tpu.utils.io import find_video_files_for_views
 
+        assert self.is_multi_view(), "Use test_video_files_singleview for single-view"
         video_dir = self.cfg.eval.get("test_videos_directory")
         if not video_dir:
             return []

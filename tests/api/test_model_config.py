@@ -200,3 +200,59 @@ def test_milestone_equal_to_max_epochs_passes(cfg):
     c.training.max_epochs = 300
     c.training.lr_scheduler_params.multisteplr.milestones = [300]
     ModelConfig(c).validate()
+
+
+def test_reprojection_null_log_weight_skips_imgaug_check(cfg):
+    """An inactive reprojection loss (log_weight null or section absent)
+    does not impose imgaug requirements (reference
+    test_model_config.py:338-358)."""
+    c = cfg.copy()
+    c.data.view_names = ["a", "b"]
+    c.data.csv_file = ["a.csv", "b.csv"]
+    c.model.model_type = "heatmap_multiview_transformer"
+    c.training.imgaug = "none"
+    c.losses.supervised_reprojection_heatmap_mse = {"log_weight": None}
+    ModelConfig(c).validate()
+    # no section at all -> also skipped
+    c2 = cfg.copy()
+    c2.data.view_names = ["a", "b"]
+    c2.data.csv_file = ["a.csv", "b.csv"]
+    c2.model.model_type = "heatmap_multiview_transformer"
+    c2.training.imgaug = "none"
+    assert c2.losses.get("supervised_reprojection_heatmap_mse") is None
+    ModelConfig(c2).validate()
+
+
+def test_video_files_singleview_on_multiview_raises(cfg, tmp_path):
+    """View-arity guards on the test-video enumerators (reference
+    model_config.py:103,121)."""
+    c = cfg.copy()
+    c.data.view_names = ["a", "b"]
+    c.data.csv_file = ["a.csv", "b.csv"]
+    c.eval.test_videos_directory = str(tmp_path)
+    with pytest.raises(AssertionError):
+        ModelConfig(c).test_video_files_singleview()
+    with pytest.raises(AssertionError):
+        ModelConfig(cfg).test_video_files_multiview()
+
+
+def test_video_files_singleview_returns_paths(cfg, tmp_path):
+    (tmp_path / "sess1.mp4").write_bytes(b"x")
+    (tmp_path / "notes.txt").write_bytes(b"x")
+    c = cfg.copy()
+    c.eval.test_videos_directory = str(tmp_path)
+    files = ModelConfig(c).test_video_files_singleview()
+    assert [str(f).rsplit("/", 1)[-1] for f in files] == ["sess1.mp4"]
+
+
+def test_video_files_multiview_returns_grouped_paths(cfg, tmp_path):
+    for name in ["sess1_top.mp4", "sess1_bot.mp4", "sess2_top.mp4", "sess2_bot.mp4"]:
+        (tmp_path / name).write_bytes(b"x")
+    c = cfg.copy()
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.eval.test_videos_directory = str(tmp_path)
+    groups = ModelConfig(c).test_video_files_multiview()
+    assert len(groups) == 2
+    for group in groups:
+        assert [v.name.split("_")[-1] for v in group] == ["top.mp4", "bot.mp4"]

@@ -91,6 +91,23 @@ def test_multiview_batch(rng):
     np.testing.assert_allclose(out.reshape(b, v * k, 2)[:, k:], exp1, rtol=1e-4)
 
 
+def test_multiview_context_batch_trims_bbox(rng):
+    """Multiview context batches carry 4 extra bbox rows that must be
+    trimmed before the per-view remap (reference test_bboxes.py:248-277)."""
+    b, v, k = 3, 2, 3
+    kp = rng.uniform(0, 256, size=(b, v * k * 2)).astype(np.float32)
+    bbox = np.concatenate(
+        [_rand_bbox(rng, b + 4), _rand_bbox(rng, b + 4)], axis=1
+    )
+    out = np.asarray(
+        bboxes.model_to_frame_batch(kp, bbox, 256.0, 256.0, num_views=v)
+    )
+    expected = np.asarray(
+        bboxes.model_to_frame_batch(kp, bbox[2:-2], 256.0, 256.0, num_views=v)
+    )
+    np.testing.assert_allclose(out, expected)
+
+
 def test_frame_to_model_batch_multiview(rng):
     b, v, k = 2, 2, 3
     kp = rng.uniform(0, 200, size=(b, v, k, 2)).astype(np.float32)
