@@ -158,7 +158,22 @@ def crop_video(
     Path(output_file).parent.mkdir(parents=True, exist_ok=True)
     cap = cv2.VideoCapture(str(input_video_file))
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-    h0, w0 = int(bbox_df["h"].iloc[0]), int(bbox_df["w"].iloc[0])
+    # the bbox CSV must be dense: one row per frame, no gaps
+    # (reference cropzoom.py:_crop_video_moviepy raises on mismatch)
+    n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if len(bbox_df) != n_frames:
+        cap.release()
+        raise ValueError(
+            f"{Path(input_video_file).name}: bbox CSV has {len(bbox_df)} rows "
+            f"but video has {n_frames} frames. The video bbox CSV must be "
+            f"dense: exactly one row per frame with no gaps. If your tracking "
+            f"has missing frames, carry the last known bbox forward to fill "
+            f"the gap."
+        )
+    # output size = median bbox dims rounded to nearest even integer
+    # (reference cropzoom.py: h/w median, round(x/2)*2)
+    h0 = int(round(float(bbox_df["h"].median()) / 2) * 2)
+    w0 = int(round(float(bbox_df["w"].median()) / 2) * 2)
     writer = cv2.VideoWriter(
         str(output_file), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w0, h0)
     )

@@ -278,3 +278,55 @@ def test_generate_cropped_csv_roundtrip(tmp_path):
 def test_generate_cropped_csv_invalid_mode(tmp_path):
     with pytest.raises(ValueError, match="not a valid mode"):
         cz.generate_cropped_csv_file("a.csv", "b.csv", "c.csv", mode="multiply")
+
+
+def _write_video(path, n_frames=4, w=64, h=48):
+    import cv2
+
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h)
+    )
+    rng = np.random.default_rng(5)
+    for f in rng.integers(0, 255, size=(n_frames, h, w, 3), dtype=np.uint8):
+        writer.write(f)
+    writer.release()
+
+
+@pytest.mark.parametrize("n_rows", [3, 6])
+def test_crop_video_raises_on_bbox_frame_count_mismatch(tmp_path, n_rows):
+    """The bbox CSV must be dense — one row per video frame (reference
+    test_cropzoom.py:391-427)."""
+    video = tmp_path / "in.mp4"
+    _write_video(video, n_frames=4)
+    bbox = pd.DataFrame(
+        {"x": [10] * n_rows, "y": [8] * n_rows,
+         "h": [16] * n_rows, "w": [20] * n_rows},
+        index=pd.Index([f"f{i}" for i in range(n_rows)]),
+    )
+    bbox_file = tmp_path / "bbox.csv"
+    bbox.to_csv(bbox_file)
+    with pytest.raises(ValueError, match="dense"):
+        cz.crop_video(video, bbox_file, tmp_path / "out.mp4")
+
+
+def test_crop_video_output_size_is_even_median(tmp_path):
+    """Output dims = median bbox h/w rounded to the nearest even integer
+    (reference _crop_video_moviepy)."""
+    import cv2
+
+    video = tmp_path / "in.mp4"
+    _write_video(video, n_frames=5)
+    bbox = pd.DataFrame(
+        {"x": [10] * 5, "y": [8] * 5,
+         "h": [14, 15, 15, 16, 30], "w": [18, 21, 21, 22, 40]},
+        index=pd.Index([f"f{i}" for i in range(5)]),
+    )
+    bbox_file = tmp_path / "bbox.csv"
+    bbox.to_csv(bbox_file)
+    out = tmp_path / "out.mp4"
+    cz.crop_video(video, bbox_file, out)
+    cap = cv2.VideoCapture(str(out))
+    # median h=15 -> 16, median w=21 -> round(10.5)*2 = 20 (banker's) or 22
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == round(15 / 2) * 2
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == round(21 / 2) * 2
+    cap.release()
