@@ -39,6 +39,8 @@ __all__ = [
     "wait_for_saves",
     "checkpoint_dir",
     "next_version_dir",
+    "resolve_checkpoint_path",
+    "warm_start",
 ]
 
 
@@ -142,3 +144,64 @@ def load_checkpoint(path: str) -> dict:
             return ckptr.restore(os.path.abspath(path))
     with open(path, "rb") as f:
         return flax.serialization.msgpack_restore(f.read())
+
+
+def resolve_checkpoint_path(path: str) -> str:
+    """Resolve a ``cfg.model.checkpoint`` value to a loadable checkpoint.
+
+    The reference accepts either a ``.ckpt`` file or a model DIRECTORY, in
+    which case the first ``**/*.ckpt`` found recursively is used
+    (reference models/factory.py:213-215). Orbax-backend checkpoints are
+    themselves directories named ``*.ckpt``, so those are matched too.
+    """
+    if not os.path.isdir(path) or path.endswith(".ckpt"):
+        return path
+    matches = sorted(glob.glob(os.path.join(path, "**", "*.ckpt"), recursive=True))
+    if not matches:
+        raise FileNotFoundError(f"no *.ckpt found under model directory {path}")
+    return matches[0]
+
+
+def warm_start(params: Any, batch_stats: Any, path: str) -> tuple[Any, Any, bool]:
+    """Warm-start model variables from ``cfg.model.checkpoint``.
+
+    Mirrors the reference's semantics (models/factory.py:211-229): load the
+    full state when it is compatible; on any structure/shape mismatch
+    (e.g. a different head size because ``num_keypoints`` changed), fall
+    back to loading only the backbone weights.
+
+    Returns ``(params, batch_stats, full_load)`` where ``full_load`` is
+    False when only the backbone could be restored.
+    """
+    ckpt = load_checkpoint(resolve_checkpoint_path(path))
+
+    def _restore(target: Any, state: Any) -> Any:
+        restored = flax.serialization.from_state_dict(target, state)
+        # from_state_dict does not validate leaf shapes; do it here so a
+        # head mismatch triggers the backbone-only fallback instead of a
+        # shape error mid-training
+        for a, b in zip(
+            jax.tree.leaves(target), jax.tree.leaves(restored), strict=True
+        ):
+            if np.shape(a) != np.shape(b):
+                raise ValueError(
+                    f"shape mismatch {np.shape(a)} vs {np.shape(b)}"
+                )
+        return restored
+
+    try:
+        params = _restore(params, ckpt["params"])
+        if batch_stats and ckpt.get("batch_stats"):
+            batch_stats = _restore(batch_stats, ckpt["batch_stats"])
+        return params, batch_stats, True
+    except (ValueError, KeyError, TypeError):
+        pass
+    # backbone-only fallback (reference models/factory.py:224-229)
+    params = dict(params)
+    params["backbone"] = _restore(params["backbone"], ckpt["params"]["backbone"])
+    if batch_stats and ckpt.get("batch_stats", {}).get("backbone") is not None:
+        batch_stats = dict(batch_stats)
+        batch_stats["backbone"] = _restore(
+            batch_stats["backbone"], ckpt["batch_stats"]["backbone"]
+        )
+    return params, batch_stats, False

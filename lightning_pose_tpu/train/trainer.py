@@ -797,16 +797,20 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
             )
         logger.info(f"loaded pretrained backbone weights from {bb_ckpt}")
 
-    # optional warm-start (reference models/factory.py:211-229)
+    # optional warm-start (reference models/factory.py:211-229): accepts a
+    # .ckpt file or a model directory; falls back to backbone-only weights
+    # when the head does not match (e.g. different num_keypoints)
     if cfg.model.get("checkpoint"):
-        ckpt = ckpt_utils.load_checkpoint(cfg.model.checkpoint)
-        import flax.serialization
-
-        params = flax.serialization.from_state_dict(params, ckpt["params"])
-        batch_stats = flax.serialization.from_state_dict(
-            batch_stats, ckpt["batch_stats"]
+        params, batch_stats, full = ckpt_utils.warm_start(
+            params, batch_stats, str(cfg.model.checkpoint)
         )
-        logger.info(f"warm-started from {cfg.model.checkpoint}")
+        if full:
+            logger.info(f"warm-started from {cfg.model.checkpoint}")
+        else:
+            logger.warning(
+                f"checkpoint {cfg.model.checkpoint} does not match the model "
+                "head; warm-started backbone weights only"
+            )
 
     # ---- optimizer
     tx, head_sched, bb_sched = make_optimizer(cfg, steps_per_epoch, params)

@@ -73,3 +73,67 @@ def test_best_overwrite_orbax(tmp_path):
     assert not os.path.exists(p1)
     assert os.path.isdir(p2)
     assert int(ckpt_utils.load_checkpoint(p2)["step"]) == 10
+
+
+def _model_payload(num_out=4):
+    params = {
+        "backbone": {"conv": {"kernel": np.full((3, 3), 2.0, np.float32)}},
+        "head": {"dense": {"kernel": np.zeros((3, num_out), np.float32)}},
+    }
+    batch_stats = {"backbone": {"bn": {"mean": np.ones((3,), np.float32)}}}
+    return params, batch_stats
+
+
+def test_resolve_checkpoint_path_from_model_dir(tmp_path):
+    """A model DIRECTORY resolves to the first *.ckpt found recursively
+    (reference models/factory.py:213-215)."""
+    params, batch_stats = _model_payload()
+    ckpt = (
+        tmp_path / "tb_logs" / "m" / "version_0" / "checkpoints"
+        / "epoch=3-step=40-best.ckpt"
+    )
+    ckpt.parent.mkdir(parents=True)
+    ckpt_utils.save_checkpoint(str(ckpt), params, batch_stats, step=40, epoch=3)
+    ckpt_utils.wait_for_saves()
+    assert ckpt_utils.resolve_checkpoint_path(str(tmp_path)) == str(ckpt)
+    # a direct file path passes through untouched
+    assert ckpt_utils.resolve_checkpoint_path(str(ckpt)) == str(ckpt)
+    empty = tmp_path / "empty_model_dir"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        ckpt_utils.resolve_checkpoint_path(str(empty))
+
+
+def test_warm_start_full_load(tmp_path):
+    params, batch_stats = _model_payload()
+    path = str(tmp_path / "w.ckpt")
+    ckpt_utils.save_checkpoint(path, params, batch_stats, step=1, epoch=0)
+    ckpt_utils.wait_for_saves()
+
+    fresh, fresh_bs = _model_payload()
+    fresh["backbone"]["conv"]["kernel"][:] = 0.0
+    fresh["head"]["dense"]["kernel"][:] = 9.0
+    out_p, out_bs, full = ckpt_utils.warm_start(fresh, fresh_bs, path)
+    assert full
+    np.testing.assert_array_equal(out_p["backbone"]["conv"]["kernel"], 2.0)
+    np.testing.assert_array_equal(out_p["head"]["dense"]["kernel"], 0.0)
+    np.testing.assert_array_equal(out_bs["backbone"]["bn"]["mean"], 1.0)
+
+
+def test_warm_start_backbone_only_on_head_mismatch(tmp_path):
+    """A checkpoint with a different head size loads backbone weights only
+    (reference models/factory.py:224-229, test_factory.py:91)."""
+    params, batch_stats = _model_payload(num_out=4)
+    path = str(tmp_path / "w.ckpt")
+    ckpt_utils.save_checkpoint(path, params, batch_stats, step=1, epoch=0)
+    ckpt_utils.wait_for_saves()
+
+    fresh, fresh_bs = _model_payload(num_out=6)  # different num_keypoints
+    fresh["backbone"]["conv"]["kernel"][:] = 0.0
+    fresh["head"]["dense"]["kernel"][:] = 9.0
+    out_p, out_bs, full = ckpt_utils.warm_start(fresh, fresh_bs, path)
+    assert not full
+    np.testing.assert_array_equal(out_p["backbone"]["conv"]["kernel"], 2.0)
+    # head untouched
+    np.testing.assert_array_equal(out_p["head"]["dense"]["kernel"], 9.0)
+    np.testing.assert_array_equal(out_bs["backbone"]["bn"]["mean"], 1.0)
