@@ -39,6 +39,8 @@ __all__ = [
     "wait_for_saves",
     "checkpoint_dir",
     "next_version_dir",
+    "latest_version_dir",
+    "find_resume_checkpoint",
     "resolve_checkpoint_path",
     "warm_start",
 ]
@@ -89,8 +91,13 @@ def save_checkpoint(
     epoch: int,
     extra: dict | None = None,
     backend: str = "msgpack",
+    opt_state: Any = None,
 ) -> None:
-    """Atomically write a checkpoint (msgpack file or async Orbax dir)."""
+    """Atomically write a checkpoint (msgpack file or async Orbax dir).
+
+    ``opt_state`` (the optax optimizer state) is included only in resume
+    checkpoints — weights-only checkpoints stay small and load-compatible.
+    """
     payload = {
         "params": _to_host(params),
         "batch_stats": _to_host(batch_stats),
@@ -98,6 +105,10 @@ def save_checkpoint(
         "epoch": int(epoch),
         "extra": extra or {},
     }
+    if opt_state is not None:
+        payload["opt_state"] = flax.serialization.to_state_dict(
+            _to_host(opt_state)
+        )
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
@@ -144,6 +155,37 @@ def load_checkpoint(path: str) -> dict:
             return ckptr.restore(os.path.abspath(path))
     with open(path, "rb") as f:
         return flax.serialization.msgpack_restore(f.read())
+
+
+def latest_version_dir(model_dir: str, model_name: str) -> str | None:
+    """Highest existing ``version_N`` dir for a model, or None."""
+    pattern = os.path.join(
+        model_dir, "tb_logs", glob.escape(model_name), "version_*"
+    )
+    versions = []
+    for d in glob.glob(pattern):
+        m = re.search(r"version_(\d+)$", d)
+        if m and os.path.isdir(d):
+            versions.append((int(m.group(1)), d))
+    return max(versions)[1] if versions else None
+
+
+def find_resume_checkpoint(model_dir: str, model_name: str) -> str | None:
+    """Locate the newest ``*-last.ckpt`` (full training state incl. optimizer)
+    in the highest version dir — the auto-resume entry point after a
+    preemption (TPU-VM spot instances)."""
+    vdir = latest_version_dir(model_dir, model_name)
+    if vdir is None:
+        return None
+    matches = glob.glob(os.path.join(vdir, "checkpoints", "*-last.ckpt"))
+    if not matches:
+        return None
+
+    def _step(f: str) -> int:
+        m = re.search(r"step=(\d+)", f)
+        return int(m.group(1)) if m else -1
+
+    return max(matches, key=_step)
 
 
 def resolve_checkpoint_path(path: str) -> str:

@@ -890,7 +890,25 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
             if csv_src.exists():
                 shutil.copy(csv_src, model_dir / csv_src.name)
 
-    version_dir = ckpt_utils.next_version_dir(str(model_dir), cfg.model.model_name)
+    # auto-resume after preemption (TPU-VM spot instances): with
+    # training.resume=true, pick up the newest *-last.ckpt (full training
+    # state incl. optimizer) and continue IN THE SAME version dir. The
+    # reference has no mid-run resume (PL restarts from scratch).
+    resume_ckpt_path = None
+    if bool(cfg.training.get("resume", False)):
+        resume_ckpt_path = ckpt_utils.find_resume_checkpoint(
+            str(model_dir), cfg.model.model_name
+        )
+        if resume_ckpt_path is None:
+            logger.info("training.resume=true but no *-last.ckpt found; "
+                        "starting fresh")
+
+    if resume_ckpt_path is not None:
+        version_dir = str(Path(resume_ckpt_path).parent.parent)
+    else:
+        version_dir = ckpt_utils.next_version_dir(
+            str(model_dir), cfg.model.model_name
+        )
     if is_main:
         os.makedirs(version_dir, exist_ok=True)
         ckpt_dir = ckpt_utils.checkpoint_dir(version_dir)
@@ -929,6 +947,40 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     best_ckpt_path = None
     bad_val_checks = 0
     global_step = 0
+    start_epoch = 0
+    last_ckpt_path = None
+
+    if resume_ckpt_path is not None:
+        import flax.serialization
+
+        ckpt = ckpt_utils.load_checkpoint(resume_ckpt_path)
+        state = TrainState(
+            step=jnp.asarray(int(ckpt["step"]), dtype=jnp.int32),
+            params=flax.serialization.from_state_dict(
+                state.params, ckpt["params"]
+            ),
+            batch_stats=flax.serialization.from_state_dict(
+                state.batch_stats, ckpt["batch_stats"]
+            ),
+            opt_state=flax.serialization.from_state_dict(
+                state.opt_state, ckpt["opt_state"]
+            ),
+        )
+        global_step = int(ckpt["step"])
+        start_epoch = int(ckpt["epoch"]) + 1
+        best_val = float(ckpt["extra"].get("best_val", float("inf")))
+        bad_val_checks = int(ckpt["extra"].get("bad_val_checks", 0))
+        bp = ckpt["extra"].get("best_ckpt_path") or None
+        best_ckpt_path = bp if bp and os.path.exists(bp) else None
+        last_ckpt_path = resume_ckpt_path
+        # from_state_dict returns host numpy — put back on the mesh, fully
+        # replicated (host-numpy params would re-ship per step, see
+        # CLAUDE.md round-2 fix)
+        state = replicate(mesh, state)
+        logger.info(
+            f"resumed from {resume_ckpt_path}: epoch {start_epoch}, "
+            f"step {global_step}"
+        )
 
     logger.info(
         f"training {cfg.model.model_type}/{cfg.model.backbone} for {max_epochs} "
@@ -950,7 +1002,7 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
 
     max_train_steps = int(sched_cfg["max_steps"])
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         # in step mode the final epoch may be partial (the reference's PL
         # Trainer stops exactly at max_steps)
         steps_this_epoch = min(steps_per_epoch, max_train_steps - global_step)
@@ -1061,6 +1113,28 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
                         path, state.params, state.batch_stats, global_step,
                         epoch, backend=ckpt_backend,
                     )
+
+            # resume checkpoint: full training state incl. optimizer, one
+            # per run, refreshed at every validation boundary so a
+            # preempted run (training.resume=true) loses at most
+            # check_val_every_n_epoch epochs
+            if is_main:
+                prev_last = last_ckpt_path
+                last_ckpt_path = os.path.join(
+                    ckpt_dir, f"epoch={epoch}-step={global_step}-last.ckpt"
+                )
+                ckpt_utils.save_checkpoint(
+                    last_ckpt_path, state.params, state.batch_stats,
+                    global_step, epoch, backend=ckpt_backend,
+                    opt_state=state.opt_state,
+                    extra={
+                        "best_val": float(best_val),
+                        "bad_val_checks": int(bad_val_checks),
+                        "best_ckpt_path": best_ckpt_path or "",
+                    },
+                )
+                if prev_last and prev_last != last_ckpt_path and os.path.exists(prev_last):
+                    ckpt_utils.remove_checkpoint(prev_last)
 
             if (
                 early_stopping

@@ -194,6 +194,67 @@ def test_train_multiview_2_devices(cfg, mv_data_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_resume_after_preemption(cfg, tmp_path):
+    """training.resume=true continues a preempted run from the newest
+    *-last.ckpt in the SAME version dir, restoring optimizer state — the
+    final parameters match an uninterrupted run exactly (batch order is
+    epoch-seeded and aug RNG is step-derived, so the trajectory is
+    deterministic). The reference has no mid-run resume (PL restarts
+    from scratch); this is TPU-VM spot-instance support."""
+    import glob
+
+    import jax
+
+    from lightning_pose_tpu.train import train
+    from lightning_pose_tpu.train.checkpoints import load_checkpoint
+
+    # uninterrupted 4-epoch run
+    c_full = _small_train_cfg(cfg, "resume-test")
+    c_full.training.max_epochs = 4
+    c_full.training.min_epochs = 4
+    dir_a = tmp_path / "a"
+    train(c_full, model_dir=dir_a, skip_evaluation=True)
+
+    # "preempted" run: 2 epochs, then resume to 4
+    dir_b = tmp_path / "b"
+    c_half = _small_train_cfg(cfg, "resume-test")
+    c_half.training.max_epochs = 2
+    c_half.training.min_epochs = 2
+    train(c_half, model_dir=dir_b, skip_evaluation=True)
+
+    vdir_b = dir_b / "tb_logs" / "resume-test" / "version_0"
+    lasts = glob.glob(str(vdir_b / "checkpoints" / "*-last.ckpt"))
+    assert len(lasts) == 1  # older last ckpts are pruned
+    assert "epoch=1" in lasts[0]
+
+    c_resume = _small_train_cfg(cfg, "resume-test")
+    c_resume.training.max_epochs = 4
+    c_resume.training.min_epochs = 4
+    c_resume.training.resume = True
+    train(c_resume, model_dir=dir_b, skip_evaluation=True)
+
+    # continued in the same version dir — no version_1
+    assert not (dir_b / "tb_logs" / "resume-test" / "version_1").exists()
+
+    def final_last(d):
+        files = glob.glob(
+            str(d / "tb_logs" / "resume-test" / "version_0" / "checkpoints"
+                / "*-last.ckpt")
+        )
+        assert len(files) == 1
+        return load_checkpoint(files[0])
+
+    ckpt_a, ckpt_b = final_last(dir_a), final_last(dir_b)
+    assert ckpt_a["epoch"] == ckpt_b["epoch"] == 3
+    assert ckpt_a["step"] == ckpt_b["step"]
+
+    flat_a = jax.tree_util.tree_leaves(ckpt_a["params"])
+    flat_b = jax.tree_util.tree_leaves(ckpt_b["params"])
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(la, lb, rtol=0, atol=0)
+
+
+@pytest.mark.slow
 def test_train_steps_mode(cfg, tmp_path):
     """Step-based training config (max_steps/unfreezing_step) stops at
     exactly max_steps, with the opt-in epoch-scan loop (partial final
