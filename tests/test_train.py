@@ -194,7 +194,8 @@ def test_train_multiview_2_devices(cfg, mv_data_dir, tmp_path):
 
 
 @pytest.mark.slow
-def test_train_resume_after_preemption(cfg, tmp_path):
+@pytest.mark.parametrize("scan_epochs", [False, True])
+def test_train_resume_after_preemption(cfg, tmp_path, scan_epochs):
     """training.resume=true continues a preempted run from the newest
     *-last.ckpt in the SAME version dir, restoring optimizer state — the
     final parameters match an uninterrupted run exactly (batch order is
@@ -210,6 +211,7 @@ def test_train_resume_after_preemption(cfg, tmp_path):
 
     # uninterrupted 4-epoch run
     c_full = _small_train_cfg(cfg, "resume-test")
+    c_full.training.scan_epochs = scan_epochs
     c_full.training.max_epochs = 4
     c_full.training.min_epochs = 4
     dir_a = tmp_path / "a"
@@ -218,6 +220,7 @@ def test_train_resume_after_preemption(cfg, tmp_path):
     # "preempted" run: 2 epochs, then resume to 4
     dir_b = tmp_path / "b"
     c_half = _small_train_cfg(cfg, "resume-test")
+    c_half.training.scan_epochs = scan_epochs
     c_half.training.max_epochs = 2
     c_half.training.min_epochs = 2
     train(c_half, model_dir=dir_b, skip_evaluation=True)
@@ -228,6 +231,7 @@ def test_train_resume_after_preemption(cfg, tmp_path):
     assert "epoch=1" in lasts[0]
 
     c_resume = _small_train_cfg(cfg, "resume-test")
+    c_resume.training.scan_epochs = scan_epochs
     c_resume.training.max_epochs = 4
     c_resume.training.min_epochs = 4
     c_resume.training.resume = True
