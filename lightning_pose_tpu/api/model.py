@@ -38,11 +38,13 @@ class Model:
         model_dir: str | Path,
         config: ModelConfig,
         precision: str | None = None,
+        data_parallel: bool = False,
     ) -> None:
         self.model_dir = Path(model_dir)
         self.config = config
         self.cfg = config.cfg
         self.precision = precision
+        self.data_parallel = data_parallel
         self._module = None
         self._meta = None
         self._state = None
@@ -52,17 +54,29 @@ class Model:
 
     @classmethod
     def from_dir(
-        cls, model_dir: str | Path, precision: str | None = None
+        cls,
+        model_dir: str | Path,
+        precision: str | None = None,
+        data_parallel: bool = False,
     ) -> "Model":
         """Load from a model directory containing config.yaml
         (reference model.py:291). ``precision``: fp32 | bf16 (default bf16;
         fp16 maps to bf16 — TPUs have no fp16 units, reference
-        model.py:44-65 maps precision strings similarly)."""
+        model.py:44-65 maps precision strings similarly).
+
+        ``data_parallel``: shard inference batches across ALL attached
+        chips (GSPMD over a 1-D data mesh; parameters replicated). The
+        reference has no multi-GPU inference — this is TPU-native
+        beyond-parity: one ``litpose predict`` saturates a whole pod slice.
+        No-op on a single chip."""
         config_path = Path(model_dir) / "config.yaml"
         if not config_path.exists():
             raise FileNotFoundError(f"no config.yaml in {model_dir}")
         cfg = Config.from_yaml(str(config_path))
-        return cls(model_dir, ModelConfig(cfg), precision=precision)
+        return cls(
+            model_dir, ModelConfig(cfg), precision=precision,
+            data_parallel=data_parallel,
+        )
 
     @classmethod
     def from_dir2(
@@ -70,9 +84,12 @@ class Model:
         model_dir: str | Path,
         hydra_overrides: list[str] | None = None,
         precision: str | None = None,
+        data_parallel: bool = False,
     ):
         """Load with extra config overrides (reference model.py:339)."""
-        model = cls.from_dir(model_dir, precision=precision)
+        model = cls.from_dir(
+            model_dir, precision=precision, data_parallel=data_parallel
+        )
         if hydra_overrides:
             model.cfg.apply_overrides(hydra_overrides)
         return model
@@ -87,6 +104,20 @@ class Model:
 
     def labeled_videos_dir(self) -> Path:
         return self.model_dir / "video_preds" / "labeled_videos"
+
+    def cropped_data_dir(self) -> Path:
+        """Where cropzoom-cropped images go (reference model.py:718-720)."""
+        return self.model_dir / "cropped_images"
+
+    def cropped_videos_dir(self) -> Path:
+        """Where cropzoom-cropped videos go (reference model.py:722-724)."""
+        return self.model_dir / "cropped_videos"
+
+    def cropped_csv_file_path(self, csv_file_path: str | Path) -> Path:
+        """``image_preds/<csv_name>/cropped_<csv_name>``
+        (reference model.py:730-742)."""
+        name = Path(csv_file_path).name
+        return self.image_preds_dir() / name / ("cropped_" + name)
 
     @property
     def ckpt_path(self) -> str | None:
@@ -248,6 +279,64 @@ class Model:
             return preds, confs
 
         self._predict_fn = jax.jit(predict_step)
+        if self.data_parallel:
+            self._enable_data_parallel(is_context)
+
+    def _enable_data_parallel(self, is_context: bool) -> None:
+        """Shard prediction batches over all attached chips.
+
+        TPU-native multi-chip inference (no reference counterpart — the
+        reference pins ``pl.Trainer(devices=1)`` for prediction,
+        reference utils/predictions.py:462): parameters are replicated on
+        a 1-D ``data`` mesh, each incoming batch is committed with its
+        frame axis sharded, and GSPMD partitions the jitted program —
+        including the cross-frame context windows of MHCRNN models, whose
+        halo frames XLA exchanges over ICI automatically. Batches whose
+        frame count doesn't divide the mesh are padded by repeating the
+        last frame and trimmed after (context windows never see the pad
+        rows for the retained outputs)."""
+        import jax
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lightning_pose_tpu.parallel.mesh import make_mesh
+
+        if jax.device_count() < 2:
+            logger.info("data_parallel requested but only one device attached")
+            return
+        mesh = make_mesh()
+        n = mesh.size
+        replicated = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P("data"))
+        self._state = jax.device_put(self._state, replicated)
+        base_fn = self._predict_fn
+
+        def dp_predict(state, images, bbox):
+            images = np.asarray(images)
+            bbox = np.asarray(bbox, dtype=np.float32)
+            t = images.shape[0]
+            pad = (-t) % n
+            if pad:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)]
+                )
+                bbox = np.concatenate(
+                    [bbox, np.repeat(bbox[-1:], pad, axis=0)]
+                )
+            kp, conf = base_fn(
+                state,
+                jax.device_put(images, sharded),
+                jax.device_put(bbox, sharded),
+            )
+            if pad:
+                # output length tracks the (padded) frame axis (context
+                # models emit T-4 windows); drop the pad-derived tail
+                keep = kp.shape[0] - pad
+                kp, conf = kp[:keep], conf[:keep]
+            return kp, conf
+
+        self._predict_fn = dp_predict
+        logger.info(f"prediction batches sharded across {n} devices")
 
     # -- prediction entry points -----------------------------------------------------
 

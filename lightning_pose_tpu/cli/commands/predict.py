@@ -61,6 +61,11 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
         "`litpose export` (the reference's --runtime onnx analog; video "
         "inputs only — the export has fixed batch shapes)",
     )
+    p.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard inference batches across all attached TPU chips "
+        "(GSPMD data mesh; no-op on a single chip). Eager runtime only.",
+    )
     # app support: JSON progress file updated per batch (reference
     # --progress_file, cli/commands/predict.py:160-167)
     p.add_argument("--progress_file", type=Path, help=argparse.SUPPRESS)
@@ -74,8 +79,14 @@ def handle(args: argparse.Namespace) -> None:
     model = Model.from_dir2(
         args.model_dir, hydra_overrides=list(args.overrides),
         precision=args.precision,
+        data_parallel=getattr(args, "data_parallel", False),
     )
     if getattr(args, "runtime", "eager") == "exported":
+        if getattr(args, "data_parallel", False):
+            raise ValueError(
+                "--data_parallel applies to the eager runtime only (the "
+                "exported program has fixed single-chip input shapes)"
+            )
         if any(Path(p).suffix == ".csv" for p in args.input_path):
             raise ValueError(
                 "--runtime exported serves video inputs only (the export "
