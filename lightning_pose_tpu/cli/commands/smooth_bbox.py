@@ -14,8 +14,14 @@ def register_parser(subparsers: Any) -> argparse.ArgumentParser:
     p = subparsers.add_parser(
         NAME, description="Temporally smooth bbox CSV files (rolling median)."
     )
-    p.add_argument("input_bbox_dir", type=Path, help="directory of *_bbox.csv files")
-    p.add_argument("output_dir", type=Path, help="directory for smoothed files")
+    p.add_argument(
+        "bbox_dir", type=Path,
+        help="directory of raw *_bbox.csv files (output of litpose create_bbox)",
+    )
+    p.add_argument(
+        "--output_dir", type=Path, required=True,
+        help="directory for smoothed bbox files and metadata.json",
+    )
     p.add_argument("--method", default="median", choices=["median"])
     p.add_argument("--window", type=int, default=5)
     return p
@@ -25,5 +31,6 @@ def handle(args: argparse.Namespace) -> None:
     from lightning_pose_tpu.utils import cropzoom as cz
 
     cz.smooth_bbox(
-        args.input_bbox_dir, args.output_dir, method=args.method, window=args.window
+        args.bbox_dir, args.output_dir, method=args.method, window=args.window
     )
+    print(f"wrote smoothed bboxes to {args.output_dir}")

@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     _configure_logging(getattr(args, "verbose", False))
 
+    # on-startup data migrations, as the reference main does before every
+    # command dispatch (reference cli/main.py:74-76)
+    from lightning_pose_tpu.migrations import run_migrations
+
+    run_migrations()
+
     from lightning_pose_tpu.cli import commands
 
     for command in commands.COMMANDS:

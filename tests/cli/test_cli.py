@@ -27,12 +27,29 @@ def _minimal_args(cmd: str, tmp_path) -> list[str]:
         "train": [f"{d}/cfg.yaml"],
         "predict": [d, "video.mp4"],
         "export": [d],
-        "create_bbox": ["preds.csv"],
-        "smooth_bbox": ["in_dir", "out_dir"],
-        "crop": ["video.mp4", "bbox.csv"],
+        "create_bbox": [d, "video.mp4"],
+        "smooth_bbox": ["in_dir", "--output_dir", "out_dir"],
+        "crop": [d, "video.mp4"],
         "remap": ["preds.csv", "bbox.csv"],
         "run_app": [],
     }[cmd]
+
+
+def _fake_model_dir(tmp_path, data_dir=None):
+    """Minimal model dir for the cropzoom CLI (config.yaml only — the
+    cropzoom commands use dir conventions, not the checkpoint)."""
+    model_dir = tmp_path / "detector_model"
+    model_dir.mkdir(exist_ok=True)
+    (model_dir / "config.yaml").write_text(
+        f"""
+data:
+  data_dir: {data_dir or tmp_path}
+model:
+  model_name: detector
+  model_type: heatmap
+"""
+    )
+    return model_dir
 
 
 def _write_preds_csv(path, n=20, keypoints=("a", "b")):
@@ -46,24 +63,30 @@ def _write_preds_csv(path, n=20, keypoints=("a", "b")):
 
 
 def test_create_smooth_remap_roundtrip(tmp_path):
-    preds = tmp_path / "session1.csv"
-    _write_preds_csv(preds)
+    """Model-dir-centric cropzoom flow (reference create_bbox.py:160-176
+    output conventions): video predictions at video_preds/<stem>.csv ->
+    bbox at video_preds/<stem>_bbox.csv -> smoothed dir -> remap."""
+    model_dir = _fake_model_dir(tmp_path)
+    preds_dir = model_dir / "video_preds"
+    preds_dir.mkdir()
+    _write_preds_csv(preds_dir / "session1.csv")
 
-    main(["create_bbox", str(preds), "--crop_ratio", "1.5"])
-    bbox_file = tmp_path / "session1_bbox.csv"
+    main(["create_bbox", str(model_dir), "session1.mp4", "--crop_ratio", "1.5"])
+    bbox_file = preds_dir / "session1_bbox.csv"
     assert bbox_file.exists()
     bbox_df = pd.read_csv(bbox_file, index_col=0)
     assert list(bbox_df.columns) == ["x", "y", "h", "w"]
     assert (bbox_df["h"] % 2 == 0).all()  # even dims
 
     out_dir = tmp_path / "smoothed"
-    main(["smooth_bbox", str(tmp_path), str(out_dir)])
+    main(["smooth_bbox", str(preds_dir), "--output_dir", str(out_dir)])
     assert (out_dir / "session1_bbox.csv").exists()
     assert (out_dir / "metadata.json").exists()
 
     # remap: subtract then add round-trips coordinates
     from lightning_pose_tpu.utils.cropzoom import generate_cropped_csv_file
 
+    preds = preds_dir / "session1.csv"
     cropped = tmp_path / "cropped.csv"
     generate_cropped_csv_file(preds, bbox_file, cropped, mode="subtract")
     main(["remap", str(cropped), str(bbox_file), "--output_file",
@@ -73,23 +96,106 @@ def test_create_smooth_remap_roundtrip(tmp_path):
     np.testing.assert_allclose(restored.to_numpy(), orig.to_numpy(), atol=1e-6)
 
 
+def test_create_bbox_labeled_csv_conventions(tmp_path):
+    """CSV inputs read image_preds/<csv>/predictions.csv and write
+    image_preds/<csv>/bbox.csv (reference create_bbox.py:163-166)."""
+    model_dir = _fake_model_dir(tmp_path)
+    preds_dir = model_dir / "image_preds" / "labels.csv"
+    preds_dir.mkdir(parents=True)
+    _write_preds_csv(preds_dir / "predictions.csv")
+
+    main(["create_bbox", str(model_dir), "labels.csv", "--crop_size", "96"])
+    bbox_df = pd.read_csv(preds_dir / "bbox.csv", index_col=0)
+    assert (bbox_df["h"] == 96).all() and (bbox_df["w"] == 96).all()
+
+
+def test_create_bbox_flag_validation(tmp_path):
+    """Mutual exclusion + range checks (reference create_bbox.py:125-145)."""
+    model_dir = _fake_model_dir(tmp_path)
+    (model_dir / "video_preds").mkdir(exist_ok=True)
+    _write_preds_csv(model_dir / "video_preds" / "v.csv")
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        main(["create_bbox", str(model_dir), "v.mp4",
+              "--crop_ratio", "2.0", "--crop_size", "64"])
+    with pytest.raises(ValueError, match="greater than 1"):
+        main(["create_bbox", str(model_dir), "v.mp4", "--crop_ratio", "0.5"])
+    with pytest.raises(ValueError, match="positive"):
+        main(["create_bbox", str(model_dir), "v.mp4", "--crop_size", "-4"])
+    # neither flag -> reference default crop_ratio 2.0 applies, no error
+    main(["create_bbox", str(model_dir), "v.mp4"])
+    assert (model_dir / "video_preds" / "v_bbox.csv").exists()
+
+
 def test_crop_video_command(tmp_path, toy_data_dir):
+    """Video crop via the model-dir conventions: bbox from
+    video_preds/<stem>_bbox.csv, output cropped_videos/cropped_<name>.mp4
+    (reference crop.py:130-143)."""
+    import math
+    import shutil
+
     import cv2
 
-    video = f"{toy_data_dir}/videos/test_vid.mp4"
-    # constant bbox for 10 frames
+    video_src = f"{toy_data_dir}/videos/test_vid.mp4"
+    video = tmp_path / "test_vid.mp4"
+    shutil.copy(video_src, video)
+    cap = cv2.VideoCapture(str(video))
+    n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+
+    model_dir = _fake_model_dir(tmp_path)
+    preds_dir = model_dir / "video_preds"
+    preds_dir.mkdir()
     bbox_df = pd.DataFrame(
-        {"x": [50] * 10, "y": [60] * 10, "h": [100] * 10, "w": [100] * 10}
+        {
+            "x": [50] * n_frames,
+            "y": [60] * n_frames,
+            "h": [100] * n_frames,
+            "w": [100] * n_frames,
+        }
     )
-    bbox_file = tmp_path / "bbox.csv"
-    bbox_df.to_csv(bbox_file)
-    out = tmp_path / "cropped.mp4"
-    main(["crop", video, str(bbox_file), "--output_path", str(out)])
+    bbox_df.to_csv(preds_dir / "test_vid_bbox.csv")
+
+    main(["crop", str(model_dir), str(video)])
+    out = model_dir / "cropped_videos" / "cropped_test_vid.mp4"
     assert out.exists()
+    assert (model_dir / "cropped_images").is_dir()  # both dirs pre-created
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 100
-    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 10
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n_frames
     cap.release()
+    assert math.isfinite(n_frames)
+
+
+def test_crop_labeled_frames_command(tmp_path, toy_data_dir):
+    """CSV crop writes cropped_images/ + image_preds/<csv>/cropped_<csv>
+    with --bbox_dir override (reference crop.py:144-160)."""
+    import shutil
+
+    # small labeled set: first 3 frames of the example project
+    data_dir = tmp_path / "proj"
+    labels = pd.read_csv(
+        f"{toy_data_dir}/CollectedData.csv", header=[0, 1, 2], index_col=0
+    ).iloc[:3]
+    for img in labels.index:
+        (data_dir / img).parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{toy_data_dir}/{img}", data_dir / img)
+    csv_file = data_dir / "labels.csv"
+    labels.to_csv(csv_file)
+
+    model_dir = _fake_model_dir(tmp_path, data_dir=data_dir)
+    bbox_dir = tmp_path / "bboxes"
+    bbox_dir.mkdir()
+    pd.DataFrame(
+        {"x": [10] * 3, "y": [10] * 3, "h": [64] * 3, "w": [64] * 3},
+        index=labels.index,
+    ).to_csv(bbox_dir / "bbox.csv")
+
+    main(["crop", str(model_dir), str(csv_file), "--bbox_dir", str(bbox_dir)])
+    out_csv = model_dir / "image_preds" / "labels.csv" / "cropped_labels.csv"
+    assert out_csv.exists()
+    cropped_imgs = list((model_dir / "cropped_images").rglob("*.png"))
+    assert len(cropped_imgs) == 3
 
 
 @pytest.mark.slow
