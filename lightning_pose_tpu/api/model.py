@@ -652,8 +652,12 @@ class Model:
 
         model_type = normalize_model_type(str(self.cfg.model.model_type))
         is_context_model = model_type == "heatmap_mhcrnn"
-        is_multiview_model = model_type == "heatmap_multiview"
         nv = int(self._meta.get("num_views", 1) or 1)
+        # transformer OR a plain heatmap tracker trained on multiview data —
+        # both take one frame per view
+        is_multiview_model = model_type == "heatmap_multiview" or (
+            nv > 1 and not is_context_model
+        )
         is_mv_context = is_context_model and nv > 1
         if is_mv_context:
             if frame_rgb.ndim != 5 or frame_rgb.shape[0] != nv:

@@ -51,16 +51,33 @@ def get_dataset(cfg, data_dir: str, imgaug_pipeline=None):
         ),
     )
 
+    view_names = cfg.data.get("view_names", None)
+    is_multiview_data = bool(view_names) and len(view_names) > 1
     if model_type == "regression":
+        if is_multiview_data:
+            raise NotImplementedError(
+                "Multi-view support only available for heatmap-based models"
+            )
         return BaseTrackingDataset(do_context=False, **common)
     if model_type == "heatmap":
+        if is_multiview_data:
+            # plain heatmap tracker on multiview data: fused per-view
+            # samples, views fold into the batch at the model (reference
+            # data/factory.py:152-185 dispatches any heatmap* model with
+            # view_names to MultiviewHeatmapDataset)
+            from lightning_pose_tpu.data.datasets_multiview import (
+                MultiviewHeatmapDataset,
+            )
+
+            return MultiviewHeatmapDataset(
+                cfg=cfg, data_dir=data_dir, imgaug_pipeline=imgaug_pipeline,
+                do_context=False,
+            )
         return HeatmapDataset(
             do_context=False,
             downsample_factor=int(cfg.data.get("downsample_factor", 2)),
             **common,
         )
-    view_names = cfg.data.get("view_names", None)
-    is_multiview_data = bool(view_names) and len(view_names) > 1
     if model_type == "heatmap_mhcrnn":
         if is_multiview_data:
             # context on multiview data: per-view 5-frame stacks fused to

@@ -115,11 +115,11 @@ def get_model(
         kwargs["num_views"] = len(cfg.data.get("view_names") or [])
 
     module = cls(**kwargs)
-    # mhcrnn on multiview data folds views into the batch (reference
-    # models/base.py:296-343); num_keypoints stays per-view, but the
-    # training loop needs the view count for target/bbox layouts
+    # heatmap/mhcrnn trackers on multiview data fold views into the batch
+    # (reference models/base.py:296-343); num_keypoints stays per-view, but
+    # the training loop needs the view count for target/bbox layouts
     num_views = kwargs.get("num_views", 1)
-    if model_type == "heatmap_mhcrnn":
+    if model_type in ("heatmap", "heatmap_mhcrnn"):
         view_names = cfg.data.get("view_names") or []
         if len(view_names) > 1:
             num_views = len(view_names)

@@ -51,6 +51,17 @@ class HeatmapTracker(nn.Module):
         )
 
     def __call__(self, images: jax.Array, train: bool = False) -> jax.Array:
+        """``(B, H, W, 3)`` frames, or ``(B, V, H, W, 3)`` multiview frames —
+        views fold into the batch and unfold into view-major heatmap
+        channels (reference models/base.py:296-343 view stacking)."""
+        if images.ndim == 5:
+            from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
+                _unfold_view_channels,
+            )
+
+            b, v = images.shape[0], images.shape[1]
+            flat = images.reshape(b * v, *images.shape[2:])
+            return _unfold_view_channels(self(flat, train=train), b, v)
         features = self.backbone(images, train=train)
         return self.head(features)
 

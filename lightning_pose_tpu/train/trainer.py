@@ -103,6 +103,47 @@ def _resolve_schedule_cfg(cfg, steps_per_epoch: int) -> dict:
     )
 
 
+def _patch_mask_schedule(
+    cfg, steps_per_epoch: int
+) -> tuple[float, float, int, int] | None:
+    """Resolve the patch-mask curriculum to
+    ``(init_ratio, final_ratio, start_step, end_step)``.
+
+    Primary schema = the reference's ``training.patch_mask`` with
+    ``init_epoch``/``final_epoch`` (converted at steps_per_epoch, reference
+    train.py:335-340) or ``init_step``/``final_step`` (reference
+    PatchMasker defaults 700/5000, callbacks.py:227-251);
+    ``callbacks.patch_masking`` with ``start_epoch``/``end_epoch`` is kept
+    as a back-compat alias. Returns None when absent or disabled
+    (``final_ratio == 0``, reference callbacks.py:253-259).
+    """
+    pm = cfg.training.get("patch_mask", None)
+    if pm is not None:
+        init_ratio = float(pm.get("init_ratio", 0.1))
+        final_ratio = float(pm.get("final_ratio", 0.5))
+        if final_ratio == 0.0:
+            return None
+        if pm.get("init_epoch") is not None or pm.get("final_epoch") is not None:
+            start = int(pm.get("init_epoch", 0)) * steps_per_epoch
+            end = int(pm.get("final_epoch", 1)) * steps_per_epoch
+        else:
+            start = int(pm.get("init_step", 700))
+            end = int(pm.get("final_step", 5000))
+        return init_ratio, final_ratio, start, max(end, 1)
+    legacy = cfg.callbacks.get("patch_masking", None)
+    if legacy is not None:
+        final_ratio = float(legacy.get("final_ratio", 0.5))
+        if final_ratio == 0.0:
+            return None
+        return (
+            float(legacy.get("init_ratio", 0.0)),
+            final_ratio,
+            int(legacy.get("start_epoch", 0)) * steps_per_epoch,
+            max(int(legacy.get("end_epoch", 1)) * steps_per_epoch, 1),
+        )
+    return None
+
+
 def make_optimizer(cfg, steps_per_epoch: int, params) -> tuple[Any, Callable]:
     """Adam/AdamW with per-group (backbone vs head) LR schedules.
 
@@ -356,31 +397,36 @@ def make_step_fns(
             imgs_flat = imgs.reshape(bsz * num_views, *imgs.shape[2:])
             imgs_aug, kp_aug = augmenter(aug_rng, imgs_flat, kp)
             # curriculum patch masking for the multiview transformer
-            # (reference callbacks.py:191-451)
-            pm_cfg = cfg.callbacks.get("patch_masking", None)
-            if pm_cfg is not None:
+            # (reference callbacks.py:191-451); schema = the reference's
+            # training.patch_mask {init_epoch/final_epoch or
+            # init_step/final_step, init_ratio, final_ratio} (reference
+            # config_default_multiview.yaml:111-116, epoch->step conversion
+            # train.py:335-340); cfg.callbacks.patch_masking
+            # {start_epoch, end_epoch} kept as a back-compat alias
+            pm = _patch_mask_schedule(cfg, steps_per_epoch)
+            if pm is not None:
                 from lightning_pose_tpu.callbacks import (
                     apply_patch_mask,
                     patch_mask_ratio,
                 )
 
+                init_ratio, final_ratio, start_step, end_step = pm
                 ratio = patch_mask_ratio(
                     state.step,
-                    init_ratio=float(pm_cfg.get("init_ratio", 0.0)),
-                    final_ratio=float(pm_cfg.get("final_ratio", 0.5)),
-                    start_step=int(pm_cfg.get("start_epoch", 0)) * steps_per_epoch,
-                    end_step=max(
-                        int(pm_cfg.get("end_epoch", 1)) * steps_per_epoch, 1
-                    ),
+                    init_ratio=init_ratio,
+                    final_ratio=final_ratio,
+                    start_step=start_step,
+                    end_step=end_step,
                 )
                 imgs_aug = apply_patch_mask(
                     jax.random.fold_in(aug_rng, 7), imgs_aug, ratio
                 )
             images = imgs_aug.reshape(bsz, num_views, *imgs_aug.shape[1:])
             keypoints = kp_aug.reshape(bsz, -1, 2)
-        elif is_context and num_views > 1:
-            # mhcrnn on multiview data: (B, V, 5, H, W, 3) context stacks —
-            # views augment independently (fold into batch), each view's 5
+        elif num_views > 1:
+            # heatmap/mhcrnn trackers on multiview data: (B, V, H, W, 3)
+            # frames or (B, V, 5, H, W, 3) context stacks — views augment
+            # independently (fold into batch); for context each view's 5
             # frames share one transform (reference folds views into the
             # batch dim, models/base.py:296-343)
             imgs = batch["images"]

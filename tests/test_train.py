@@ -361,6 +361,74 @@ def test_train_multiview(cfg, mv_data_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_heatmap_multiview(cfg, mv_data_dir, tmp_path):
+    """Plain heatmap tracker on multiview data (the reference's standard
+    separate-views workflow, e.g. mirror-mouse-separate): views fold into
+    the model batch, per-view artifacts, semi-supervised pca_multiview over
+    the synchronized unlabeled stream (reference data/factory.py:152-185
+    dispatches any heatmap* model with view_names to the multiview
+    dataset)."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.video_dir = f"{mv_data_dir}/videos"
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.view_names = ["top", "bot"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = [0, 1, 2, 3, 4, 5, 6]
+    c.data.columns_for_singleview_pca = None
+    c.training.imgaug = "dlc-mv"
+    c.training.train_batch_size = 2
+    c.training.val_batch_size = 2
+    c.training.test_batch_size = 2
+    c.training.train_frames = 4
+    c.training.max_epochs = 1
+    c.training.min_epochs = 1
+    c.training.check_val_every_n_epoch = 1
+    c.training.unfreezing_epoch = 0
+    c.dali.base.train.sequence_length = 8
+    c.model.model_type = "heatmap"
+    c.model.backbone = "resnet18"
+    c.model.losses_to_use = ["pca_multiview"]
+    c.model.model_name = "mv-heatmap-test"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path)
+
+    assert (tmp_path / "image_preds" / "top.csv" / "predictions.csv").exists()
+    assert (tmp_path / "image_preds" / "bot.csv" / "predictions.csv").exists()
+    assert (tmp_path / "predictions_top.csv").exists()
+
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(tmp_path)
+    # one frame per view
+    result = m.predict_frame(np.zeros((2, 168, 396, 3), dtype=np.uint8))
+    assert result["keypoints"].shape == (14, 2)  # view-major 2 views x 7 kps
+    assert np.isfinite(result["keypoints"]).all()
+
+    out = m.predict_on_label_csv_multiview(
+        csv_file_per_view=["top.csv", "bot.csv"], compute_metrics=False
+    )
+    assert set(out.predictions.keys()) == {"top", "bot"}
+    assert out.predictions["top"].shape[0] == 90
+
+    res = m.predict_on_video_file_multiview(
+        [
+            f"{mv_data_dir}/videos/test_vid_top.mp4",
+            f"{mv_data_dir}/videos/test_vid_bot.mp4",
+        ],
+        compute_metrics=False,
+    )
+    n_frames = len(res.predictions["top"])
+    assert n_frames == len(res.predictions["bot"]) > 0
+    for view in ("top", "bot"):
+        arr = res.predictions[view].to_numpy(dtype=float)
+        assert np.isfinite(arr).all()
+
+
+@pytest.mark.slow
 def test_train_mhcrnn_multiview(cfg, mv_data_dir, tmp_path):
     """heatmap_mhcrnn on multiview data: context stacks per view fused to
     (B, V, 5, H, W, 3), views folded into the CRNN batch, semi-supervised

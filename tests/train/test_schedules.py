@@ -50,6 +50,60 @@ def test_backbone_lr_step_mode():
     assert float(sched(100)) == pytest.approx(1e-4)
 
 
+def test_patch_mask_schedule_reference_schema():
+    """training.patch_mask resolves with epoch->step conversion, reference
+    step defaults, final_ratio=0 disabling, and the legacy
+    callbacks.patch_masking alias (reference train.py:335-340,
+    callbacks.py:227-259)."""
+    from lightning_pose_tpu.config import Config
+    from lightning_pose_tpu.train.trainer import _patch_mask_schedule
+
+    def cfg_of(training=None, callbacks=None):
+        return Config({"training": training or {}, "callbacks": callbacks or {}})
+
+    # epoch schema converts at steps_per_epoch
+    pm = _patch_mask_schedule(
+        cfg_of(training={"patch_mask": {
+            "init_epoch": 40, "final_epoch": 300,
+            "init_ratio": 0.0, "final_ratio": 0.5,
+        }}),
+        steps_per_epoch=10,
+    )
+    assert pm == (0.0, 0.5, 400, 3000)
+
+    # step schema used directly; reference PatchMasker defaults 700/5000
+    pm = _patch_mask_schedule(
+        cfg_of(training={"patch_mask": {"init_ratio": 0.1, "final_ratio": 0.5}}),
+        steps_per_epoch=10,
+    )
+    assert pm == (0.1, 0.5, 700, 5000)
+    pm = _patch_mask_schedule(
+        cfg_of(training={"patch_mask": {
+            "init_step": 100, "final_step": 1000,
+            "init_ratio": 0.1, "final_ratio": 0.5,
+        }}),
+        steps_per_epoch=10,
+    )
+    assert pm == (0.1, 0.5, 100, 1000)
+
+    # final_ratio == 0 disables masking
+    assert _patch_mask_schedule(
+        cfg_of(training={"patch_mask": {"final_ratio": 0.0}}), 10
+    ) is None
+    # absent -> None
+    assert _patch_mask_schedule(cfg_of(), 10) is None
+
+    # legacy alias
+    pm = _patch_mask_schedule(
+        cfg_of(callbacks={"patch_masking": {
+            "init_ratio": 0.1, "final_ratio": 0.5,
+            "start_epoch": 0, "end_epoch": 1,
+        }}),
+        steps_per_epoch=10,
+    )
+    assert pm == (0.1, 0.5, 0, 10)
+
+
 def test_anneal_weight():
     """Ramp 0 -> 1 by increase_factor after freeze_until_epoch
     (reference callbacks.py:59-76)."""
