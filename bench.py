@@ -78,6 +78,106 @@ def _make_model_dir(tmp: str) -> str:
     return str(model_dir)
 
 
+def _make_mv_assets(tmp: str) -> tuple[str, list[str]]:
+    """Split mirror-mouse into a 2-view project (top/bot at y=168, the
+    reference's mirror-mouse-separate layout) and build a loadable
+    multiview model dir. Returns (model_dir, [video_top, video_bot])."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.config import load_config
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+
+    y_split = 168
+    vids = []
+    cap = cv2.VideoCapture(VIDEO)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    four = cv2.VideoWriter_fourcc(*"mp4v")
+    vid_dir = Path(tmp) / "videos"
+    vid_dir.mkdir(parents=True, exist_ok=True)
+    writers = [
+        cv2.VideoWriter(str(vid_dir / "test_vid_top.mp4"), four, fps,
+                        (w, y_split)),
+        cv2.VideoWriter(str(vid_dir / "test_vid_bot.mp4"), four, fps,
+                        (w, h - y_split)),
+    ]
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        writers[0].write(frame[:y_split])
+        writers[1].write(frame[y_split:])
+    cap.release()
+    for wr in writers:
+        wr.release()
+    vids = [str(vid_dir / "test_vid_top.mp4"),
+            str(vid_dir / "test_vid_bot.mp4")]
+
+    n_kp = 7
+    cfg = load_config()
+    cfg.data.data_dir = tmp
+    cfg.data.video_dir = str(vid_dir)
+    cfg.data.csv_file = ["top.csv", "bot.csv"]
+    cfg.data.view_names = ["top", "bot"]
+    cfg.data.num_keypoints = n_kp
+    cfg.data.keypoint_names = [f"kp{i}" for i in range(n_kp)]
+    cfg.data.mirrored_column_matches = None
+    cfg.data.columns_for_singleview_pca = None
+    cfg.data.image_resize_dims.height = SIZE
+    cfg.data.image_resize_dims.width = SIZE
+    cfg.model.model_type = "heatmap"
+    cfg.model.backbone = "resnet50"
+    cfg.model.model_name = "bench-mv"
+    cfg.dali.base.predict.sequence_length = SEQ_LEN
+
+    module, _meta = get_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, SIZE, SIZE, 3), dtype=jnp.float32)
+    variables = module.init(rng, dummy, train=False)
+    model_dir = Path(tmp) / "model"
+    version_dir = Path(ckpt_utils.next_version_dir(str(model_dir), "bench-mv"))
+    ckpt_dir = ckpt_utils.checkpoint_dir(str(version_dir))
+    ckpt_utils.save_checkpoint(
+        str(Path(ckpt_dir) / "epoch=0-step=0-best.ckpt"),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=0,
+        epoch=0,
+    )
+    cfg.save(str(model_dir / "config.yaml"))
+    return str(model_dir), vids
+
+
+def bench_mv() -> dict:
+    """2-view product-path inference: Model.predict_on_video_file_multiview
+    on a top/bot split of the mirror-mouse test video (the reference's
+    multiview 2-view benchmark, mixed_precision.rst:294-298 — T4 FP32
+    330.2 s for 2x469 frames = 2.84 fps)."""
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.data.video import count_frames
+
+    n_frames = count_frames(VIDEO)
+    tmp = tempfile.mkdtemp(prefix="lp_bench_mv_")
+    try:
+        model_dir, vids = _make_mv_assets(tmp)
+        m = Model.from_dir(model_dir)
+        m.predict_on_video_file_multiview(vids)  # warmup: compile + codec
+        elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            result = m.predict_on_video_file_multiview(vids)
+            elapsed = min(elapsed, time.time() - t0)
+            assert len(result.predictions) == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    total = 2 * n_frames
+    return {"fps": total / elapsed, "frames": total, "sec": elapsed}
+
+
 def bench_product() -> dict:
     """Time Model.predict_on_video_file end-to-end (CSV writing included)."""
     from lightning_pose_tpu.api.model import Model
@@ -422,6 +522,15 @@ def _run_measurement(mode: str) -> None:
             "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
             "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
         }
+    elif mode == "mv":
+        r = bench_mv()
+        out = {
+            "metric": "video_inference_fps_multiview_2view_resnet50_heatmap",
+            "value": round(r["fps"], 2),
+            "unit": "frames/sec",
+            # reference multiview 2-view T4 FP32: 330.2 s for 2x469 frames
+            "vs_baseline": round(r["fps"] / (938 / 330.2), 2),
+        }
     elif mode == "train":
         r = bench_train()
         out = {
@@ -480,7 +589,7 @@ def main() -> None:
 
     --raw / --device / --train run a single measurement (still
     watchdogged); --child --<mode> is the in-process measurement."""
-    for mode in ("raw", "device", "train", "product"):
+    for mode in ("raw", "device", "train", "product", "mv"):
         if f"--{mode}" in sys.argv:
             single = mode
             break

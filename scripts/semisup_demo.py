@@ -17,11 +17,19 @@ end-to-end on real hardware.
     python scripts/semisup_demo.py [output_root]
 """
 
+import os
 import sys
 from pathlib import Path
 
 
-def run_one(out_dir: Path, losses: list[str]) -> dict:
+def run_one(out_dir: Path, losses: list[str], resume: bool = False) -> dict:
+    import jax
+
+    if os.environ.get("SEMISUP_DEMO_CPU"):  # plumbing smoke tests
+        jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: watchdog restarts skip the cold compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from lightning_pose_tpu import LP_ROOT_PATH
     from lightning_pose_tpu.config import load_config
     from lightning_pose_tpu.train import train
@@ -40,6 +48,10 @@ def run_one(out_dir: Path, losses: list[str]) -> dict:
         err = pd.read_csv(err_file, index_col=0)
         return err.groupby("set").mean(numeric_only=True).mean(axis=1).to_dict()
 
+    # SEMISUP_DEMO_EPOCHS shrinks the run for plumbing smoke tests
+    epochs = int(os.environ.get("SEMISUP_DEMO_EPOCHS", "150"))
+    milestones = [int(epochs * 2 / 3), int(epochs * 5 / 6)]
+    val_every = max(1, min(25, epochs // 6))
     loss_list = "[" + ",".join(losses) + "]"
     cfg = load_config()
     cfg.apply_overrides(
@@ -54,10 +66,11 @@ def run_one(out_dir: Path, losses: list[str]) -> dict:
             "training.train_prob=0.8",
             "training.val_prob=0.1",
             "training.train_frames=35",
-            "training.max_epochs=150",
-            "training.min_epochs=150",
-            "training.lr_scheduler_params.multisteplr.milestones=[100,125]",
-            "training.check_val_every_n_epoch=25",
+            f"training.max_epochs={epochs}",
+            f"training.min_epochs={epochs}",
+            "training.lr_scheduler_params.multisteplr.milestones="
+            f"[{milestones[0]},{milestones[1]}]",
+            f"training.check_val_every_n_epoch={val_every}",
             "training.unfreezing_epoch=0",
             # unsup importance ramps from epoch 0 (reference mirror-mouse cfg)
             "callbacks.anneal_weight.freeze_until_epoch=0",
@@ -66,6 +79,7 @@ def run_one(out_dir: Path, losses: list[str]) -> dict:
             f"model.losses_to_use={loss_list}",
             "eval.predict_vids_after_training=false",
         ]
+        + (["training.resume=true"] if resume else [])
     )
     train(cfg, model_dir=out_dir)
 
@@ -76,18 +90,94 @@ def run_one(out_dir: Path, losses: list[str]) -> dict:
     return by_set.to_dict()
 
 
+RUNS = {
+    "supervised": [],
+    "semisup": ["pca_singleview", "temporal"],
+}
+
+# the remote-TPU tunnel can hang a single RPC for many minutes; run each
+# training in a child process, watch the output dir for progress, and
+# kill+restart (with training.resume=true, losing at most
+# check_val_every_n_epoch epochs) on stall
+STALL_SECS = 600
+MAX_ATTEMPTS = 6
+
+
+def _newest_mtime(out_dir: Path) -> float:
+    newest = 0.0
+    if out_dir.exists():
+        for p in out_dir.rglob("*"):
+            try:
+                newest = max(newest, p.stat().st_mtime)
+            except OSError:
+                pass
+    return newest
+
+
+def _run_watched(root: Path, name: str) -> dict:
+    import json
+    import subprocess
+    import time
+
+    out_dir = root / name
+    for attempt in range(MAX_ATTEMPTS):
+        cmd = [sys.executable, os.path.abspath(__file__), str(root),
+               "--child", name]
+        if attempt > 0:
+            cmd.append("--resume")
+        proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
+        )
+        import threading
+
+        lines: list[str] = []
+
+        def _pump(stream=proc.stdout, sink=lines):
+            for ln in stream:
+                print(ln, end="", flush=True)
+                sink.append(ln)
+
+        t = threading.Thread(target=_pump, daemon=True)
+        t.start()
+        start = time.time()
+        while proc.poll() is None:
+            time.sleep(30)
+            last = max(_newest_mtime(out_dir), start)
+            if time.time() - last > STALL_SECS:
+                print(f"[watchdog] {name} attempt {attempt + 1}: no progress "
+                      f"for {STALL_SECS}s — killing (tunnel hang?)", flush=True)
+                proc.kill()
+                proc.wait()
+                break
+        t.join(timeout=10)
+        if proc.returncode == 0:
+            for ln in reversed(lines):
+                if ln.startswith("{"):
+                    return json.loads(ln)
+            raise SystemExit(f"{name}: child exited 0 without a result line")
+        time.sleep(30)  # give the tunnel a moment before retrying
+    raise SystemExit(f"{name}: failed after {MAX_ATTEMPTS} attempts")
+
+
 def main() -> None:
-    root = Path(sys.argv[1] if len(sys.argv) > 1 else "outputs/semisup_demo")
+    import json
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    root = Path(args[0] if args else "outputs/semisup_demo")
+
+    if "--child" in sys.argv:
+        name = sys.argv[sys.argv.index("--child") + 1]
+        res = run_one(root / name, RUNS[name], resume="--resume" in sys.argv)
+        print(json.dumps(res), flush=True)
+        return
+
     results = {}
-    for name, losses in [
-        ("supervised", []),
-        ("semisup", ["pca_singleview", "temporal"]),
-    ]:
+    for name, losses in RUNS.items():
         print(f"\n=== training {name} (losses={losses}) ===", flush=True)
-        results[name] = run_one(root / name, losses)
+        results[name] = _run_watched(root, name)
         print(f"{name}: {results[name]}", flush=True)
 
-    print("\npixel error by split (20 labeled train frames, 406x396 px):")
+    print("\npixel error by split (35 labeled train frames, 406x396 px):")
     print(f"{'split':8s} {'supervised':>12s} {'semisup':>12s}")
     for split in ("train", "validation", "test"):
         a = results["supervised"].get(split, float("nan"))
