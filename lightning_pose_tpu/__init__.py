@@ -19,7 +19,15 @@ and the Hydra-style config schema — all built TPU-first:
 
 import os
 
-__version__ = "0.1.0"
+# version from the installed package metadata (reference cli/main.py reads
+# importlib.metadata the same way); fall back to the pyproject value for
+# source checkouts
+try:
+    from importlib.metadata import version as _pkg_version
+
+    __version__ = _pkg_version("lightning-pose-tpu")
+except Exception:  # pragma: no cover - not installed
+    __version__ = "0.2.0"
 
 # Absolute path to the repository root, used by the ``${LP_ROOT_PATH:}``
 # config resolver (mirrors the OmegaConf resolver in the reference

@@ -140,6 +140,17 @@ def _predict_multiview(model, args: argparse.Namespace) -> None:
     for d in dirs:
         sessions += find_video_files_for_views(str(d), view_names)
     for session_videos in sessions:
+        # per-session skip-existing, as the reference predict does
+        # (reference cli/commands/predict.py:315-326)
+        if not args.overwrite and all(
+            (model.video_preds_dir() / (Path(v).stem + ".csv")).exists()
+            for v in session_videos
+        ):
+            logger.info(
+                f"skipping session {Path(session_videos[0]).stem} "
+                "(predictions exist; use --overwrite)"
+            )
+            continue
         model.predict_on_video_file_multiview(
             video_file_per_view=[str(v) for v in session_videos],
             generate_labeled_video=not args.skip_viz,
@@ -173,6 +184,12 @@ def _predict_one(model, input_path: Path, args: argparse.Namespace) -> None:
         if preds_file.exists() and not args.overwrite:
             logger.info(f"skipping {input_path} (predictions exist; use --overwrite)")
             return
-        model.predict_on_label_csv(input_path, output_dir=args.output_dir)
+        # CSV inputs read <bbox_dir>/bbox.csv (reference predict.py:269-272)
+        bbox_file = None
+        if args.bbox_dir is not None and (args.bbox_dir / "bbox.csv").exists():
+            bbox_file = args.bbox_dir / "bbox.csv"
+        model.predict_on_label_csv(
+            input_path, output_dir=args.output_dir, bbox_file=bbox_file
+        )
     else:
         raise ValueError(f"unsupported input type: {input_path}")

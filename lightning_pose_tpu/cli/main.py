@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
             "(train / predict / export / cropzoom tools)"
         ),
     )
+    from lightning_pose_tpu import __version__
+
+    parser.add_argument(
+        "--version", action="version",
+        version=f"lightning-pose-tpu {__version__}",
+    )
     parser.add_argument("--verbose", action="store_true", help="debug logging")
     subparsers = parser.add_subparsers(
         dest="command", required=True, parser_class=ArgumentSubParser

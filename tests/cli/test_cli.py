@@ -21,6 +21,17 @@ def test_all_commands_registered(tmp_path):
         assert args.command == cmd
 
 
+def test_version_flag_exits_zero(capsys):
+    """--version prints the package version and exits 0
+    (reference tests/cli/test_main.py:43-55)."""
+    import lightning_pose_tpu
+
+    with pytest.raises(SystemExit) as exc:
+        build_parser().parse_args(["--version"])
+    assert exc.value.code == 0
+    assert lightning_pose_tpu.__version__ in capsys.readouterr().out
+
+
 def _minimal_args(cmd: str, tmp_path) -> list[str]:
     d = str(tmp_path)
     return {
