@@ -749,9 +749,21 @@ class Model:
 
         height = int(self.cfg.data.image_resize_dims.height)
         width = int(self.cfg.data.image_resize_dims.width)
-        seq_len = int(self.cfg.dali.base.predict.sequence_length)
-        dummy = jnp.zeros((seq_len, height, width, 3), dtype=jnp.uint8)
-        bbox = jnp.tile(jnp.asarray([0.0, 0.0, height, width]), (seq_len, 1))
+        seq_key = (
+            "context"
+            if self._meta["model_type"] == "heatmap_mhcrnn"
+            else "base"
+        )
+        seq_len = int(self.cfg.dali[seq_key]["predict"]["sequence_length"])
+        nv = int(self._meta.get("num_views", 1) or 1)
+        if nv > 1:
+            dummy = jnp.zeros((seq_len, nv, height, width, 3), dtype=jnp.uint8)
+            bbox = jnp.tile(
+                jnp.asarray([0.0, 0.0, height, width] * nv), (seq_len, 1)
+            )
+        else:
+            dummy = jnp.zeros((seq_len, height, width, 3), dtype=jnp.uint8)
+            bbox = jnp.tile(jnp.asarray([0.0, 0.0, height, width]), (seq_len, 1))
         self._predict_fn(self._state, dummy, bbox)
 
     def export(self, output_dir: str | Path | None = None) -> str:
@@ -764,17 +776,32 @@ class Model:
 
         height = int(self.cfg.data.image_resize_dims.height)
         width = int(self.cfg.data.image_resize_dims.width)
-        seq_len = int(self.cfg.dali.base.predict.sequence_length)
+        seq_key = (
+            "context"
+            if self._meta["model_type"] == "heatmap_mhcrnn"
+            else "base"
+        )
+        seq_len = int(self.cfg.dali[seq_key]["predict"]["sequence_length"])
         out_dir = Path(output_dir or (self.model_dir / "exports_xla"))
         out_dir.mkdir(parents=True, exist_ok=True)
 
         def fn(images, bbox):
             return self._predict_fn(self._state, images, bbox)
 
-        exported = jax_export.export(jax.jit(fn))(
-            jax.ShapeDtypeStruct((seq_len, height, width, 3), jnp.uint8),
-            jax.ShapeDtypeStruct((seq_len, 4), jnp.float32),
-        )
+        # canonical RGB video-batch shapes per model family (the reference
+        # likewise traces its ONNX export per model shape, model.py:615-704)
+        nv = int(self._meta.get("num_views", 1) or 1)
+        if nv > 1:
+            images_spec = jax.ShapeDtypeStruct(
+                (seq_len, nv, height, width, 3), jnp.uint8
+            )
+            bbox_spec = jax.ShapeDtypeStruct((seq_len, 4 * nv), jnp.float32)
+        else:
+            images_spec = jax.ShapeDtypeStruct(
+                (seq_len, height, width, 3), jnp.uint8
+            )
+            bbox_spec = jax.ShapeDtypeStruct((seq_len, 4), jnp.float32)
+        exported = jax_export.export(jax.jit(fn))(images_spec, bbox_spec)
         path = out_dir / "predict.jax_export"
         with open(path, "wb") as f:
             f.write(exported.serialize())

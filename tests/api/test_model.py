@@ -306,6 +306,70 @@ def test_export_and_load_roundtrip(model, cfg, tmp_path):
     )
 
 
+def test_export_roundtrip_multiview(cfg, mv_data_dir, tmp_path):
+    """Export traces multiview shapes (T, V, H, W, 3) and round-trips
+    (reference traces its ONNX export per model shape, model.py:615-704).
+    Uses a plain heatmap tracker on 2-view data (views fold into batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.api.model import Model
+    from lightning_pose_tpu.models.factory import get_model
+    from lightning_pose_tpu.train import checkpoints as ckpt_utils
+
+    c = cfg.copy()
+    c.data.data_dir = mv_data_dir
+    c.data.video_dir = f"{mv_data_dir}/videos"
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.view_names = ["top", "bot"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.model.model_type = "heatmap"
+    c.model.backbone = "resnet18"
+    c.model.model_name = "mv-export"
+    c.dali.base.predict.sequence_length = 4
+
+    module, _meta = get_model(c, num_keypoints=7)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 128, 128, 3), dtype=jnp.float32),
+        train=False,
+    )
+    model_dir = tmp_path / "mv_export_model"
+    version_dir = Path(
+        ckpt_utils.next_version_dir(str(model_dir), c.model.model_name)
+    )
+    ckpt_dir = ckpt_utils.checkpoint_dir(str(version_dir))
+    ckpt_utils.save_checkpoint(
+        str(Path(ckpt_dir) / "epoch=0-step=0-best.ckpt"),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        step=0, epoch=0,
+    )
+    ckpt_utils.wait_for_saves()
+    c.save(str(model_dir / "config.yaml"))
+
+    m = Model.from_dir(model_dir)
+    m.compile()  # multiview canonical shape compiles
+    path = m.export(output_dir=tmp_path / "exports")
+    fn = Model.load_exported(path)
+
+    images = np.random.default_rng(4).integers(
+        0, 255, size=(4, 2, 128, 128, 3), dtype=np.uint8
+    )
+    bbox = np.tile(
+        np.array([0, 0, 168, 396, 0, 0, 238, 396], dtype=np.float32), (4, 1)
+    )
+    kp_exp, conf_exp = fn(images, bbox)
+    assert np.asarray(kp_exp).shape == (4, 28)  # view-major 2 views x 7 kps
+    kp_eager, conf_eager = m._predict_fn(m._state, images, bbox)
+    np.testing.assert_allclose(
+        np.asarray(kp_exp), np.asarray(kp_eager), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_use_exported_runtime_shape_guard(model_dir, cfg, tmp_path):
     from lightning_pose_tpu.api.model import Model
 
