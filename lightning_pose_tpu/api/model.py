@@ -446,11 +446,13 @@ class Model:
         generate_labeled_video: bool = False,
         output_dir: str | Path | None = None,
         bbox_df=None,
+        bbox_file: str | Path | None = None,
         progress_file: str | Path | None = None,
     ):
         """Predict a video; write video_preds/<stem>.csv
-        (reference model.py:1139). ``bbox_df`` enables bbox-crop inference;
-        ``progress_file`` writes per-batch App progress JSON.
+        (reference model.py:1139). ``bbox_file`` (per-frame x,y,h,w CSV) or
+        ``bbox_df`` enables bbox-crop inference; ``progress_file`` writes
+        per-batch App progress JSON.
 
         Frames move host->device as planar 4:2:0 YUV on TPU (half the
         transfer bytes, converted on device — the analog of DALI shipping
@@ -459,6 +461,12 @@ class Model:
         self._load()
         from lightning_pose_tpu.utils.video_predictions import predict_video
 
+        if bbox_file is not None:
+            if bbox_df is not None:
+                raise ValueError("pass bbox_file or bbox_df, not both")
+            import pandas as pd
+
+            bbox_df = pd.read_csv(bbox_file, index_col=0)
         preds_file = None
         if output_dir:
             preds_file = str(Path(output_dir) / (Path(video_file).stem + ".csv"))
@@ -499,9 +507,13 @@ class Model:
         video_file_per_view: list[str | Path],
         compute_metrics: bool = True,
         generate_labeled_video: bool = False,
+        output_dir: str | Path | None = None,
+        progress_file: str | Path | None = None,
     ):
         """Frame-synchronized multiview video inference
-        (reference model.py:1225). Returns a
+        (reference model.py:1225). ``output_dir`` overrides the default
+        ``video_preds/`` location; ``progress_file`` writes per-batch App
+        progress JSON. Returns a
         :class:`~lightning_pose_tpu.data.datatypes.MultiviewPredictionResult`."""
         if not self.config.is_multi_view():
             raise ValueError(
@@ -527,6 +539,8 @@ class Model:
             generate_labeled_video=generate_labeled_video,
             compute_metrics=compute_metrics,
             transfer_format=self._video_transfer_format(),
+            output_dir=str(output_dir) if output_dir else None,
+            progress_file=progress_file,
         )
 
     def predict_on_label_csv_multiview(

@@ -177,6 +177,8 @@ def predict_video_multiview(
     generate_labeled_video: bool = False,
     compute_metrics: bool = True,
     transfer_format: str = "rgb",
+    output_dir: str | None = None,
+    progress_file=None,
 ):
     """Frame-synchronized multiview video inference: one CSV per view
     (reference api/model.py:1225 ``predict_on_video_file_multiview``).
@@ -210,11 +212,21 @@ def predict_video_multiview(
         bbox_cols.append(np.tile([0.0, 0.0, oh, ow], (seq_len, 1)))
     bbox = np.concatenate(bbox_cols, axis=1).astype(np.float32)
 
+    progress = None
+    if progress_file is not None:
+        from lightning_pose_tpu.callbacks import JSONInferenceProgressTracker
+
+        progress = JSONInferenceProgressTracker(
+            progress_file, total_batches=len(loader)
+        )
+
     t0 = time.time()
     preds = []
     for batch in loader:
         kp, conf = predict_fn(state, batch, bbox)
         preds.append((np.asarray(kp), np.asarray(conf)))
+        if progress is not None:
+            progress.step()
     elapsed = time.time() - t0
     logger.info(
         f"predicted {loader.frame_count} frames x {len(view_names)} views in "
@@ -226,7 +238,9 @@ def predict_video_multiview(
     )
     view_to_df = handler(preds, is_multiview_video=True)
 
-    preds_dir = Path(model_dir) / "video_preds"
+    preds_dir = (
+        Path(output_dir) if output_dir else Path(model_dir) / "video_preds"
+    )
     preds_dir.mkdir(parents=True, exist_ok=True)
     out = {}
     out_metrics: dict[str, object] = {}

@@ -520,6 +520,35 @@ def test_predict_on_video_file_multiview(cfg, mv_data_dir, tmp_path):
     assert result.metrics is not None
     assert result.metrics["top"].temporal_norm_df is not None
 
+    # output_dir override + App progress file (reference model.py:1225-1232)
+    import json
+
+    out_dir = model_dir / "custom_mv_out"
+    progress = model_dir / "mv_progress.json"
+    result2 = m.predict_on_video_file_multiview(
+        [str(top[0]), str(bot[0])], compute_metrics=False,
+        output_dir=out_dir, progress_file=progress,
+    )
+    assert (out_dir / (top[0].stem + ".csv")).exists()
+    payload = json.loads(progress.read_text())
+    assert payload["completed"] == payload["total"] > 0
+    assert len(result2.predictions["top"]) == 60
+
+
+def test_predict_on_video_file_bbox_args(model, tmp_path):
+    """bbox_file is the reference's API surface (model.py:1146); bbox_df is
+    the in-memory extra — passing both raises."""
+    import pandas as pd
+
+    bbox_file = tmp_path / "b_bbox.csv"
+    pd.DataFrame({"x": [0], "y": [0], "h": [64], "w": [64]}).to_csv(bbox_file)
+    with pytest.raises(ValueError, match="not both"):
+        model.predict_on_video_file(
+            "nonexistent.mp4",
+            bbox_file=bbox_file,
+            bbox_df=pd.read_csv(bbox_file, index_col=0),
+        )
+
 
 def test_predict_frame_bbox_clipping(model):
     """A bbox extending past the frame edge is clipped silently; remapped
