@@ -82,6 +82,36 @@ def test_get_dataset_dispatch_multiview(cfg, mv_data_dir):
     assert isinstance(ds, MultiviewHeatmapDataset)
 
 
+def test_get_dataset_dispatch_heatmap_on_multiview_data(cfg, mv_data_dir):
+    """model_type=heatmap with view_names -> multiview dataset, no context
+    (reference data/factory.py:152-185 dispatches any heatmap* model with
+    multiple views to MultiviewHeatmapDataset)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    c = cfg.copy()
+    c.model.model_type = "heatmap"
+    c.data.data_dir = mv_data_dir
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 7
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    ds = get_dataset(c, mv_data_dir)
+    assert isinstance(ds, MultiviewHeatmapDataset)
+    assert not ds.do_context
+
+
+def test_get_dataset_regression_multiview_raises(cfg, mv_data_dir):
+    """Multi-view support is heatmap-only (reference data/factory.py:138)."""
+    c = cfg.copy()
+    c.model.model_type = "regression"
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    with pytest.raises(NotImplementedError, match="heatmap-based"):
+        get_dataset(c, mv_data_dir)
+
+
 def test_get_dataset_invalid_type_raises(cfg, toy_data_dir):
     c = cfg.copy()
     c.model.model_type = "not_a_model"
