@@ -336,6 +336,11 @@ def test_train_multiview(cfg, mv_data_dir, tmp_path):
     c.model.model_type = "heatmap_multiview"
     c.model.backbone = "vits_dino"
     c.model.model_name = "mv-test"
+    # the reference's patch-mask curriculum schema (training.patch_mask)
+    c.training.patch_mask = {
+        "init_epoch": 0, "final_epoch": 1,
+        "init_ratio": 0.2, "final_ratio": 0.5,
+    }
     c.eval.predict_vids_after_training = False
     train(c, model_dir=tmp_path)
     assert (tmp_path / "image_preds" / "top.csv" / "predictions.csv").exists()
