@@ -611,6 +611,7 @@ def main() -> None:
     # the scanned train program's cold compile alone can exceed 10 min
     # through the tunnel; the persistent cache makes retries fast
     train = _watchdog("train", timeout=900, retries=2)
+    mv = _watchdog("mv", timeout=900, retries=1)
 
     if product is None:
         product = {
@@ -629,6 +630,9 @@ def main() -> None:
         out["train_ms_per_step"] = train.get("ms_per_step")
         out["train_mfu_pct"] = train.get("mfu_pct")
         out["train_vs_t4_20min_baseline"] = train.get("vs_baseline")
+    if mv is not None:
+        out["multiview_2view_fps"] = mv["value"]
+        out["multiview_vs_t4_baseline"] = mv.get("vs_baseline")
     print(json.dumps(out))
 
 
