@@ -55,6 +55,34 @@ def test_heatmap_tracker_train_mode_updates_stats(rng_key):
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_heatmap_tracker_multiview_folding(rng_key):
+    """(B, V, H, W, 3) input folds views into the batch and unfolds to
+    VIEW-MAJOR heatmap channels: channel v*K+k == view v's channel k
+    (reference models/base.py:296-343 view stacking)."""
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
+
+    model = HeatmapTracker(
+        backbone_arch="resnet18", num_keypoints=3, image_size=64,
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.normal(size=(2, 2, 64, 64, 3)).astype(np.float32)
+    )
+    variables = model.init(rng_key, frames[:, 0], train=False)
+    hm_mv = model.apply(variables, frames, train=False)  # (2, h, w, 2*3)
+    assert hm_mv.shape[-1] == 6
+    for v in range(2):
+        hm_single = model.apply(variables, frames[:, v], train=False)
+        np.testing.assert_allclose(
+            np.asarray(hm_mv[..., v * 3:(v + 1) * 3]),
+            np.asarray(hm_single),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_regression_tracker(rng_key):
     m = RegressionTracker(
         backbone_arch="resnet18", num_keypoints=4, image_size=128, dtype=jnp.float32
