@@ -91,7 +91,6 @@ def _make_mv_assets(tmp: str) -> tuple[str, list[str]]:
     from lightning_pose_tpu.train import checkpoints as ckpt_utils
 
     y_split = 168
-    vids = []
     cap = cv2.VideoCapture(VIDEO)
     fps = cap.get(cv2.CAP_PROP_FPS)
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))

@@ -279,10 +279,14 @@ class Model:
             return preds, confs
 
         self._predict_fn = jax.jit(predict_step)
+        # the device-side program, kept for export() (the data-parallel
+        # wrapper below does host-side padding/device_put and cannot be
+        # traced under jax.jit)
+        self._base_predict_fn = self._predict_fn
         if self.data_parallel:
-            self._enable_data_parallel(is_context)
+            self._enable_data_parallel()
 
-    def _enable_data_parallel(self, is_context: bool) -> None:
+    def _enable_data_parallel(self) -> None:
         """Shard prediction batches over all attached chips.
 
         TPU-native multi-chip inference (no reference counterpart — the
@@ -799,8 +803,14 @@ class Model:
         out_dir = Path(output_dir or (self.model_dir / "exports_xla"))
         out_dir.mkdir(parents=True, exist_ok=True)
 
+        # always the device-side program: the data-parallel wrapper is
+        # host-side (np padding + device_put) and cannot be traced; and a
+        # mesh-replicated state would bake multi-device shardings into the
+        # export, so materialize it to host first in that case
+        state = jax.device_get(self._state) if self.data_parallel else self._state
+
         def fn(images, bbox):
-            return self._predict_fn(self._state, images, bbox)
+            return self._base_predict_fn(state, images, bbox)
 
         # canonical RGB video-batch shapes per model family (the reference
         # likewise traces its ONNX export per model shape, model.py:615-704)

@@ -154,6 +154,8 @@ def _predict_multiview(model, args: argparse.Namespace) -> None:
         model.predict_on_video_file_multiview(
             video_file_per_view=[str(v) for v in session_videos],
             generate_labeled_video=not args.skip_viz,
+            output_dir=args.output_dir,
+            progress_file=getattr(args, "progress_file", None),
         )
 
 
@@ -186,8 +188,13 @@ def _predict_one(model, input_path: Path, args: argparse.Namespace) -> None:
             return
         # CSV inputs read <bbox_dir>/bbox.csv (reference predict.py:269-272)
         bbox_file = None
-        if args.bbox_dir is not None and (args.bbox_dir / "bbox.csv").exists():
+        if args.bbox_dir is not None:
             bbox_file = args.bbox_dir / "bbox.csv"
+            if not bbox_file.exists():
+                raise FileNotFoundError(
+                    f"--bbox_dir given but {bbox_file} does not exist; run "
+                    "`litpose create_bbox` (or `litpose smooth_bbox`) first"
+                )
         model.predict_on_label_csv(
             input_path, output_dir=args.output_dir, bbox_file=bbox_file
         )

@@ -124,8 +124,10 @@ def _patch_mask_schedule(
         if final_ratio == 0.0:
             return None
         if pm.get("init_epoch") is not None or pm.get("final_epoch") is not None:
-            start = int(pm.get("init_epoch", 0)) * steps_per_epoch
-            end = int(pm.get("final_epoch", 1)) * steps_per_epoch
+            # ceil like the reference's epoch->step conversion
+            # (train.py:335-340); epochs may be fractional
+            start = math.ceil(float(pm.get("init_epoch", 0)) * steps_per_epoch)
+            end = math.ceil(float(pm.get("final_epoch", 1)) * steps_per_epoch)
         else:
             start = int(pm.get("init_step", 700))
             end = int(pm.get("final_step", 5000))

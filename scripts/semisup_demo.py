@@ -99,7 +99,9 @@ RUNS = {
 # training in a child process, watch the output dir for progress, and
 # kill+restart (with training.resume=true, losing at most
 # check_val_every_n_epoch epochs) on stall
-STALL_SECS = 600
+# must exceed the scanned train program's cold XLA compile, which alone
+# can pass 10 min through the tunnel (nothing is written during compile)
+STALL_SECS = 900
 MAX_ATTEMPTS = 6
 
 

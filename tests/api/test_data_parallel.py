@@ -163,6 +163,33 @@ def test_predict_frame_pads_to_mesh(cfg, tmp_path_factory):
     )
 
 
+def test_export_works_with_data_parallel(cfg, tmp_path_factory):
+    """export() must trace the device-side program, not the host-side
+    dp wrapper (which np.asarray's its inputs), and must not bake the
+    mesh-replicated state's sharding into the artifact."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from lightning_pose_tpu.api.model import Model
+
+    c = cfg.copy()
+    c.dali.base.predict.sequence_length = 8
+    model_dir = _make_model_dir(tmp_path_factory.mktemp("dpe"), c)
+    m = Model.from_dir(model_dir, data_parallel=True)
+    path = m.export(output_dir=tmp_path_factory.mktemp("exp"))
+    fn = Model.load_exported(path)
+    images = np.random.default_rng(0).integers(
+        0, 255, size=(8, 128, 128, 3), dtype=np.uint8
+    )
+    bbox = np.tile(np.array([0, 0, 128, 128], np.float32), (8, 1))
+    kp, conf = fn(images, bbox)
+    kp_dp, conf_dp = m._predict_fn(m._state, images, bbox)
+    np.testing.assert_allclose(
+        np.asarray(kp), np.asarray(kp_dp), rtol=1e-4, atol=1e-3
+    )
+
+
 def test_label_csv_parity(cfg, toy_data_dir, tmp_path_factory):
     """Sharded labeled-CSV inference matches serial (padded static batches
     whose size may not divide the mesh)."""

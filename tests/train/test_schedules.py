@@ -86,6 +86,16 @@ def test_patch_mask_schedule_reference_schema():
     )
     assert pm == (0.1, 0.5, 100, 1000)
 
+    # fractional epochs ceil like the reference conversion
+    pm = _patch_mask_schedule(
+        cfg_of(training={"patch_mask": {
+            "init_epoch": 0.5, "final_epoch": 1.5,
+            "init_ratio": 0.1, "final_ratio": 0.5,
+        }}),
+        steps_per_epoch=10,
+    )
+    assert pm == (0.1, 0.5, 5, 15)
+
     # final_ratio == 0 disables masking
     assert _patch_mask_schedule(
         cfg_of(training={"patch_mask": {"final_ratio": 0.0}}), 10
