@@ -205,6 +205,68 @@ def test_equalize_hist_matches_cv2(rng):
     assert diff.max() <= 3.0, f"max deviation {diff.max()} gray levels"
 
 
+@pytest.mark.parametrize("clip", [1.0, 2.0, 4.0, 8.0])
+@pytest.mark.parametrize("grid", [8, 16])
+def test_clahe_tiled_matches_cv2(rng, clip, grid):
+    """_equalize_clahe_tiled vs cv2.createCLAHE across clip limits and tile
+    grids: per-tile integer clip/redistribution + bilinear LUT
+    interpolation (the reference's AllChannelsCLAHE backend, reference
+    augmentations.py:203-205). Small residuals allowed (cv2's residual
+    redistribution loop + uint8 rounding)."""
+    import cv2
+
+    from lightning_pose_tpu.ops.augment import _equalize_clahe_tiled
+
+    img = np.linspace(0, 200, 128)[None, :] * np.ones((128, 1))
+    img = img + rng.normal(0, 20, (128, 128))
+    img[20:50, 20:50] += 50
+    img[70:110, 60:100] -= 40
+    img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+    ref = cv2.createCLAHE(
+        clipLimit=clip, tileGridSize=(grid, grid)
+    ).apply(img_u8).astype(np.float32)
+    out = np.asarray(
+        _equalize_clahe_tiled(
+            jnp.asarray(img_u8[None, :, :, None], jnp.float32),
+            jnp.asarray([clip], jnp.float32),
+            grid=grid,
+        )
+    )[0, :, :, 0]
+    diff = np.abs(out - ref)
+    # residuals grow as tiles shrink (a 128px/16-grid tile holds 64 pixels
+    # across 256 bins, so cv2's +-1-count residual pass moves the CDF by
+    # several gray levels); measured envelope: mean<=2.5, max<=14
+    assert diff.mean() <= 3.0, f"mean deviation {diff.mean()} gray levels"
+    assert np.percentile(diff, 95) <= 7.0
+    assert diff.max() <= 16.0, f"max deviation {diff.max()} gray levels"
+
+
+def test_clahe_tiled_batch_channels_and_fallback(rng):
+    """Multi-channel batches apply per-image clip limits independently;
+    non-divisible dims fall back to the global equalization."""
+    from lightning_pose_tpu.ops.augment import (
+        _equalize_clahe_tiled,
+        _equalize_hist,
+    )
+
+    imgs = rng.uniform(0, 255, size=(2, 64, 64, 3)).astype(np.float32)
+    clips = jnp.asarray([2.0, 8.0], jnp.float32)
+    out = np.asarray(_equalize_clahe_tiled(jnp.asarray(imgs), clips, grid=8))
+    assert out.shape == imgs.shape
+    assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 255
+    # batch independence: single-image result == its slot in the batch
+    solo = np.asarray(
+        _equalize_clahe_tiled(jnp.asarray(imgs[:1]), clips[:1], grid=8)
+    )
+    np.testing.assert_allclose(out[0], solo[0], atol=1e-3)
+
+    # 60 is not divisible by 2*grid=16 -> global fallback
+    odd = rng.uniform(0, 255, size=(1, 60, 60, 1)).astype(np.float32)
+    fb = np.asarray(_equalize_clahe_tiled(jnp.asarray(odd), clips[:1], grid=8))
+    ref = np.asarray(_equalize_hist(jnp.asarray(odd), clip_limit=clips[:1]))
+    np.testing.assert_allclose(fb, ref, atol=1e-3)
+
+
 def test_emboss_matches_cv2_kernel(rng):
     """_emboss == alpha-blend of cv2.filter2D with imgaug's emboss kernel
     [[-1-s, -s, 0], [-s, 1, s], [0, s, 1+s]] (interior pixels)."""
