@@ -418,14 +418,16 @@ def bench_train() -> dict:
     flops = flops_step * n_steps if flops_step else None
 
     # warmup (compile + first run); state is donated so chain it through
-    state, logs = train_epoch_cached(state, cache, idxs_dev, valid_dev, step_rng)
+    state, logs = train_epoch_cached(
+        state, cache, idxs_dev, valid_dev, step_rng, {}
+    )
     np.asarray(logs["total_loss"])
 
     elapsed = float("inf")
     for _ in range(2):
         t0 = time.time()
         state, logs = train_epoch_cached(
-            state, cache, idxs_dev, valid_dev, step_rng
+            state, cache, idxs_dev, valid_dev, step_rng, {}
         )
         losses = np.asarray(logs["total_loss"])  # host sync
         t1 = time.time()

@@ -646,24 +646,27 @@ def make_step_fns(
             batch["unlabeled"] = unlabeled
         return train_step(state, batch, rng)
 
-    def train_epoch_cached(state, cache, idxs_all, valid_all, rng):
+    def train_epoch_cached(state, cache, idxs_all, valid_all, rng, unlabeled_all):
         """A whole epoch as one ``lax.scan`` over the cached train step:
         ONE device program per epoch instead of one per step — per-step
         dispatch/RPC overhead disappears and XLA can overlap the next
-        step's gather with the current step's backward pass. Supervised
-        device-cache path only (the semi-supervised path needs host video
-        data every step).
+        step's gather with the current step's backward pass.
 
         idxs_all/valid_all: (steps, batch) stacked index batches.
+        unlabeled_all: ``{}`` for supervised training, or a pytree of
+        epoch-prefetched unlabeled video windows stacked along a leading
+        (steps,) axis — the scan slices one window per step, so
+        semi-supervised epochs run as one device program too (the host
+        decodes the next epoch's windows while this one executes).
         Returns (state, logs stacked along axis 0).
         """
 
         def body(st, xs):
-            idxs, valid = xs
-            st, logs = train_step_cached(st, cache, idxs, valid, rng, {})
+            idxs, valid, ul = xs
+            st, logs = train_step_cached(st, cache, idxs, valid, rng, ul)
             return st, logs
 
-        return jax.lax.scan(body, state, (idxs_all, valid_all))
+        return jax.lax.scan(body, state, (idxs_all, valid_all, unlabeled_all))
 
     return (
         jax.jit(train_step, donate_argnums=0),
@@ -715,7 +718,7 @@ def run_validation_epoch(batches, eval_logs_fn) -> dict[str, float]:
 
 
 def resolve_scan_epochs(scan_flag, platform: str, has_device_cache: bool,
-                        has_unlabeled: bool) -> bool:
+                        has_unlabeled: bool, multihost: bool = False) -> bool:
     """Resolve cfg.training.scan_epochs (auto | true | false) to a bool.
 
     "auto" scans whole epochs as one lax.scan device program on
@@ -723,8 +726,10 @@ def resolve_scan_epochs(scan_flag, platform: str, has_device_cache: bool,
     31.1 vs 47.7 ms/step measured on v5e after the Pallas augmentation
     kernels) and keeps the per-step loop on CPU, where the scanned
     program's per-epoch-length recompiles dominate. Scanning requires the
-    labeled device cache and is never used for semi-supervised training
-    (host video data is needed every step).
+    labeled device cache. Semi-supervised training scans too — the epoch's
+    unlabeled video windows prefetch on the host and ship as one stacked
+    batch — except under multi-host DP, where the per-process unlabeled
+    shards still assemble per step.
     """
     if isinstance(scan_flag, str):
         scan_flag = (
@@ -732,7 +737,11 @@ def resolve_scan_epochs(scan_flag, platform: str, has_device_cache: bool,
             if scan_flag.lower() == "auto"
             else scan_flag.lower() == "true"
         )
-    return bool(scan_flag) and has_device_cache and not has_unlabeled
+    return (
+        bool(scan_flag)
+        and has_device_cache
+        and not (has_unlabeled and multihost)
+    )
 
 
 def _write_status(path: Path, status: str, **extra) -> None:
@@ -1046,6 +1055,7 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
         jax.devices()[0].platform,
         device_cache is not None,
         hasattr(data_module, "unlabeled_loader"),
+        multihost=multihost,
     )
 
     max_train_steps = int(sched_cfg["max_steps"])
@@ -1062,12 +1072,28 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
             )
             from lightning_pose_tpu.parallel.mesh import shard_stacked_batch
 
+            unlabeled_all = {}
+            if hasattr(data_module, "unlabeled_loader"):
+                # prefetch the epoch's unlabeled windows and ship them as
+                # one (steps, ...) stack — the decode threads fill the
+                # next epoch's windows while this epoch's program runs
+                windows = [
+                    next(data_module.unlabeled_loader) for _ in range(len(pairs))
+                ]
+                unlabeled_all = shard_stacked_batch(
+                    mesh,
+                    {
+                        k: np.stack([np.asarray(w[k]) for w in windows])
+                        for k in windows[0]
+                    },
+                )
             state, logs_stack = train_epoch_cached(
                 state,
                 device_cache,
                 shard_stacked_batch(mesh, np.stack([p[0] for p in pairs])),
                 shard_stacked_batch(mesh, np.stack([p[1] for p in pairs])),
                 data_rng,
+                unlabeled_all,
             )
             steps_done = len(pairs)
             if writer is not None:

@@ -295,14 +295,17 @@ def test_calculate_steps_per_epoch(cfg, toy_data_dir):
 
 
 @pytest.mark.slow
-def test_train_semisupervised(cfg, tmp_path):
+@pytest.mark.parametrize("scan_epochs", ["false", "true"])
+def test_train_semisupervised(cfg, tmp_path, scan_epochs):
     """Semi-supervised training (temporal loss over unlabeled video) with
-    the min-10-steps floor."""
+    the min-10-steps floor — per-step AND the scanned-epoch program with
+    epoch-prefetched unlabeled windows (the TPU default)."""
     from lightning_pose_tpu.train import train
 
     c = _small_train_cfg(cfg, "semisup-test")
     c.model.losses_to_use = ["temporal"]
     c.dali.base.train.sequence_length = 4
+    c.training.scan_epochs = scan_epochs
     train(c, model_dir=tmp_path, skip_evaluation=True)
     # anneal weight + temporal loss must appear in the TB logs dir
     import glob
@@ -502,6 +505,121 @@ def test_train_mhcrnn_multiview(cfg, mv_data_dir, tmp_path):
     for view in ("top", "bot"):
         arr = res.predictions[view].to_numpy(dtype=float)
         assert np.isfinite(arr).all()
+
+
+@pytest.mark.slow
+def test_scanned_semisup_epoch_matches_per_step(cfg):
+    """The scanned semi-supervised epoch (epoch-prefetched unlabeled
+    windows stacked along the scan axis) must produce the same parameter
+    trajectory as stepping train_step_cached with the same windows."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightning_pose_tpu.losses.factory import LossFactory
+    from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
+    from lightning_pose_tpu.ops.augment import AugmentationEngine
+    from lightning_pose_tpu.train.trainer import (
+        TrainState,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    size, bs, n_cache, n_steps, n_kp, seq = 64, 2, 6, 3, 3, 4
+    c = cfg.copy()
+    c.data.image_resize_dims.height = size
+    c.data.image_resize_dims.width = size
+    c.data.num_keypoints = n_kp
+    c.training.train_batch_size = bs
+    c.training.imgaug = "default"
+    c.callbacks.anneal_weight.init_val = 0.5
+    c.callbacks.anneal_weight.freeze_until_epoch = 0
+
+    model = HeatmapTracker(
+        backbone_arch="resnet18", num_keypoints=n_kp, image_size=size,
+        dtype=jnp.float32,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((bs, size, size, 3)), train=False
+    )
+    tx, _, _ = make_optimizer(c, n_steps, variables["params"])
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, variables.get("batch_stats", {})
+            ),
+            opt_state=tx.init(variables["params"]),
+        )
+
+    lf = {
+        "supervised": LossFactory({"heatmap_mse": {"log_weight": 0.0}}),
+        "unsupervised": LossFactory(
+            {"temporal": {"log_weight": 0.0, "epsilon": 0.0}}
+        ),
+    }
+    meta = {
+        "model_type": "heatmap", "semi_supervised": True,
+        "downsample_factor": 2, "num_keypoints": n_kp, "image_size": size,
+    }
+    aug = AugmentationEngine("default", size, size)
+    *_, train_step_cached, train_epoch_cached = make_step_fns(
+        model, meta, lf, aug, c, tx, n_steps
+    )
+
+    np_rng = np.random.default_rng(0)
+    cache = {
+        "images": jnp.asarray(
+            np_rng.integers(0, 255, (n_cache, size, size, 3)), jnp.uint8
+        ),
+        "keypoints": jnp.asarray(
+            np_rng.uniform(5, size - 5, (n_cache, n_kp, 2)), jnp.float32
+        ),
+        "visibility": jnp.full((n_cache, n_kp), 2, jnp.int64),
+        "bbox": jnp.tile(
+            jnp.asarray([0.0, 0.0, size, size], jnp.float32), (n_cache, 1)
+        ),
+    }
+    idxs_all = np_rng.integers(0, n_cache, (n_steps, bs)).astype(np.int32)
+    valid_all = np.ones((n_steps, bs), bool)
+    windows = [
+        {
+            "frames": np_rng.integers(0, 255, (seq, size, size, 3)).astype(
+                np.uint8
+            ),
+            "bbox": np.tile(
+                np.asarray([0.0, 0.0, size, size], np.float32), (seq, 1)
+            ),
+        }
+        for _ in range(n_steps)
+    ]
+    rng_key = jax.random.PRNGKey(5)
+
+    # per-step path
+    s = fresh_state()
+    for i in range(n_steps):
+        ul = {k: jnp.asarray(v) for k, v in windows[i].items()}
+        s, logs = train_step_cached(
+            s, cache, jnp.asarray(idxs_all[i]), jnp.asarray(valid_all[i]),
+            rng_key, ul,
+        )
+        assert float(logs["train_unsupervised_loss"]) > 0.0
+    p_step = np.asarray(s.params["head"]["deconv0"]["kernel"])
+
+    # scanned path with the SAME windows stacked
+    unlabeled_all = {
+        k: jnp.asarray(np.stack([w[k] for w in windows])) for k in windows[0]
+    }
+    s2, logs_stack = train_epoch_cached(
+        fresh_state(), cache, jnp.asarray(idxs_all), jnp.asarray(valid_all),
+        rng_key, unlabeled_all,
+    )
+    assert np.asarray(logs_stack["train_unsupervised_loss"]).shape == (n_steps,)
+    p_scan = np.asarray(s2.params["head"]["deconv0"]["kernel"])
+    # scan-body vs standalone-jit compilations reassociate float reductions
+    # differently; observed max |diff| ~5e-6 after 3 Adam steps
+    np.testing.assert_allclose(p_scan, p_step, atol=2e-5)
 
 
 @pytest.mark.slow

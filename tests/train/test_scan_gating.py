@@ -21,8 +21,13 @@ def test_scan_requires_device_cache():
     assert not resolve_scan_epochs("true", "tpu", False, False)
 
 
-def test_semi_supervised_always_per_step():
-    """Unlabeled video streams from the host every step, so the scanned
-    epoch program is never used for semi-supervised training."""
-    assert not resolve_scan_epochs("true", "tpu", True, True)
-    assert not resolve_scan_epochs("auto", "tpu", True, True)
+def test_semi_supervised_scans_single_host_only():
+    """Semi-supervised epochs scan too (the epoch's unlabeled windows
+    prefetch on the host and ship stacked) — except under multi-host DP,
+    where per-process unlabeled shards assemble per step."""
+    assert resolve_scan_epochs("true", "tpu", True, True)
+    assert resolve_scan_epochs("auto", "tpu", True, True)
+    assert not resolve_scan_epochs("true", "tpu", True, True, multihost=True)
+    assert not resolve_scan_epochs("auto", "tpu", True, True, multihost=True)
+    # supervised multihost still scans
+    assert resolve_scan_epochs("auto", "tpu", True, False, multihost=True)
