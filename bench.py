@@ -238,11 +238,14 @@ def _compiled_flops(compiled) -> float | None:
         return None
 
 
-def bench_device() -> dict:
+def bench_device(backbone: str = "resnet50") -> dict:
     """Device-resident steady-state inference: preload N video batches to
     HBM, run ONE jitted lax.scan program over all of them, sync via
     np.asarray. No per-batch transfer or dispatch in the timed region —
-    this is the rig-independent device-compute number (+ MFU estimate)."""
+    this is the rig-independent device-compute number (+ MFU estimate).
+
+    ``backbone`` selects the trunk: resnet50 (headline) or vits_dinov2
+    (the reference's ViT-S forward-pass rows, mixed_precision.rst:221-224)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -254,7 +257,7 @@ def bench_device() -> dict:
 
     n_batches = 8
     model = HeatmapTracker(
-        backbone_arch="resnet50", num_keypoints=17, image_size=SIZE,
+        backbone_arch=backbone, num_keypoints=17, image_size=SIZE,
         dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)
@@ -523,6 +526,17 @@ def _run_measurement(mode: str) -> None:
             "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
             "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
         }
+    elif mode == "vit":
+        r = bench_device(backbone="vits_dinov2")
+        out = {
+            "metric": "device_resident_inference_fps_vits_dinov2_heatmap",
+            "value": round(r["fps"], 2),
+            "unit": "frames/sec",
+            # no published absolute ViT fps for the reference on T4; reuse
+            # the resnet50 T4 product number as the common denominator
+            "vs_baseline": round(r["fps"] / T4_FPS_BASELINE, 2),
+            "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+        }
     elif mode == "mv":
         r = bench_mv()
         out = {
@@ -590,7 +604,7 @@ def main() -> None:
 
     --raw / --device / --train run a single measurement (still
     watchdogged); --child --<mode> is the in-process measurement."""
-    for mode in ("raw", "device", "train", "product", "mv"):
+    for mode in ("raw", "device", "train", "product", "mv", "vit"):
         if f"--{mode}" in sys.argv:
             single = mode
             break
@@ -613,6 +627,7 @@ def main() -> None:
     # through the tunnel; the persistent cache makes retries fast
     train = _watchdog("train", timeout=900, retries=2)
     mv = _watchdog("mv", timeout=900, retries=1)
+    vit = _watchdog("vit", timeout=480, retries=1)
 
     if product is None:
         product = {
@@ -634,6 +649,9 @@ def main() -> None:
     if mv is not None:
         out["multiview_2view_fps"] = mv["value"]
         out["multiview_vs_t4_baseline"] = mv.get("vs_baseline")
+    if vit is not None:
+        out["vit_device_fps"] = vit["value"]
+        out["vit_device_mfu_pct"] = vit.get("mfu_pct")
     print(json.dumps(out))
 
 
