@@ -619,3 +619,53 @@ def test_singleview_model_rejects_multiview_predict(model):
         model.predict_on_label_csv_multiview(["a.csv", "b.csv"])
     with pytest.raises(ValueError, match="single-view"):
         model.predict_on_video_file_multiview(["a.mp4", "b.mp4"])
+
+
+def test_predict_ignores_training_augmentation(cfg, toy_data_dir, tmp_path):
+    """Prediction always runs the default (resize-only) pipeline no matter
+    what ``training.imgaug`` says — the reference rebuilds the datamodule
+    with imgaug reset to default at predict time (reference
+    test_model.py:361-376)."""
+    from lightning_pose_tpu.api.model import Model
+
+    mdir = _make_model_dir(tmp_path, cfg)
+    plain = Model.from_dir(mdir)
+    augd = Model.from_dir2(mdir, ["training.imgaug=dlc"])
+    csv = Path(toy_data_dir) / "CollectedData.csv"
+    r0 = plain.predict_on_label_csv(
+        csv, compute_metrics=False, output_dir=tmp_path / "p0"
+    )
+    r1 = augd.predict_on_label_csv(
+        csv, compute_metrics=False, output_dir=tmp_path / "p1"
+    )
+    np.testing.assert_array_equal(
+        r0.predictions.to_numpy(), r1.predictions.to_numpy()
+    )
+
+
+def test_use_exported_runtime_multiple_exports_raises(cfg, tmp_path):
+    """Ambiguous export dirs must raise, matching the reference's
+    multiple-exports guard (reference test_model.py:636-644)."""
+    from lightning_pose_tpu.api.model import Model
+
+    mdir = _make_model_dir(tmp_path, cfg)
+    exports = mdir / "exports_xla"
+    exports.mkdir()
+    (exports / "a.jax_export").write_bytes(b"x")
+    (exports / "b.jax_export").write_bytes(b"x")
+    m = Model.from_dir(mdir)
+    with pytest.raises(FileNotFoundError, match="exactly one"):
+        m.use_exported_runtime()
+
+
+def test_compile_is_idempotent(model, toy_data_dir, tmp_path):
+    """compile() twice then predict still works (reference
+    test_model.py:424-439)."""
+    model.compile()
+    model.compile()
+    r = model.predict_on_label_csv(
+        Path(toy_data_dir) / "CollectedData.csv",
+        compute_metrics=False,
+        output_dir=tmp_path / "out",
+    )
+    assert len(r.predictions) > 0
