@@ -384,6 +384,59 @@ def _equalize_clahe_tiled(
     return out.transpose(0, 2, 3, 1)
 
 
+def _apply_per_group(
+    images: jax.Array,
+    apply_g: jax.Array,
+    t: int,
+    fn,
+    extras: tuple = (),
+    max_groups: int | None = None,
+) -> jax.Array:
+    """Apply a per-image op only where its Bernoulli flag fired.
+
+    ``images`` is (B*T, H, W, C) in T-frame groups sharing the (B,) flags
+    ``apply_g`` (context stacks share one transform per sample). ``fn``
+    maps (n, H, W, C) images (+ per-frame ``extras``) to same-shape images
+    and must be per-image independent (no cross-image reductions).
+
+    Rare ops (p~0.1) cost full-batch compute when applied branchlessly.
+    Here at most ``m`` fired groups are gathered, transformed, and
+    scattered back; a ``lax.cond`` falls back to the dense full-batch form
+    on the ~1% of steps where more than ``m`` groups fire, so semantics
+    are exactly the branchless ones on every step.
+    """
+    b = int(apply_g.shape[0])
+    if max_groups is None:
+        # covers Binomial(b, 0.1) draws with ~99% probability at b>=16
+        max_groups = max(1, b // 8 + 2)
+    m = min(b, max_groups)
+
+    def _rep(x):
+        return jnp.repeat(x, t, axis=0) if t > 1 else x
+
+    def dense(imgs):
+        full = fn(imgs, *(_rep(e) for e in extras))
+        return jnp.where(_rep(apply_g)[:, None, None, None], full, imgs)
+
+    if m >= b:  # small batches: dense is cheaper than gather + cond
+        return dense(images)
+
+    idx_g = jnp.argsort(~apply_g)[:m]  # fired groups first (stable sort)
+    count = jnp.sum(apply_g)
+
+    def sparse(imgs):
+        if t > 1:
+            fi = (idx_g[:, None] * t + jnp.arange(t)[None, :]).reshape(-1)
+        else:
+            fi = idx_g
+        sub = imgs[fi]
+        res = fn(sub, *(_rep(e[idx_g]) for e in extras))
+        keep = _rep(apply_g[idx_g])[:, None, None, None]
+        return imgs.at[fi].set(jnp.where(keep, res, sub))
+
+    return jax.lax.cond(count <= m, sparse, dense, images)
+
+
 def _emboss(images: jax.Array, alpha: jax.Array, strength: jax.Array) -> jax.Array:
     """imgaug-style emboss: overlay embossed image with per-image alpha.
 
@@ -845,19 +898,25 @@ class AugmentationEngine:
             pep = R(~_coarse_mask(keys[20], b, h, w, cp["drop"], cp["size"]))
             out = jnp.where(apply_pep[:, None, None, None] & pep, 0.0, out)
 
+        # histeq/CLAHE fire per image with p~0.1 — apply on a gathered
+        # subset of fired images instead of the whole batch (exact, with a
+        # dense lax.cond fallback when many fire; see _apply_per_group)
         if spec["histeq"] is not None:
-            apply_he = R(jax.random.uniform(keys[21], (b,)) < spec["histeq"]["p"])
-            eq = _equalize_hist(out)
-            out = jnp.where(apply_he[:, None, None, None], eq, out)
+            apply_he = jax.random.uniform(keys[21], (b,)) < spec["histeq"]["p"]
+            out = _apply_per_group(out, apply_he, t, _equalize_hist)
 
         if spec["clahe"] is not None:
             clo, chi = spec["clahe"]["clip"]
-            apply_cl = R(jax.random.uniform(keys[22], (b,)) < spec["clahe"]["p"])
-            clip = R(jax.random.uniform(keys[24], (b,), minval=clo, maxval=chi))
-            cl = _equalize_clahe_tiled(
-                out, clip_limit=clip, grid=int(spec["clahe"].get("tiles", 16))
+            apply_cl = jax.random.uniform(keys[22], (b,)) < spec["clahe"]["p"]
+            clip = jax.random.uniform(keys[24], (b,), minval=clo, maxval=chi)
+            grid = int(spec["clahe"].get("tiles", 16))
+            out = _apply_per_group(
+                out, apply_cl, t,
+                lambda sub, cl_sub: _equalize_clahe_tiled(
+                    sub, clip_limit=cl_sub, grid=grid
+                ),
+                extras=(clip,),
             )
-            out = jnp.where(apply_cl[:, None, None, None], cl, out)
 
         if spec["emboss"] is not None:
             em = spec["emboss"]

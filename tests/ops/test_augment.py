@@ -448,3 +448,45 @@ def test_geometric_ops_keep_image_keypoint_consistency(name, args):
     assert dist <= 2.5, (
         f"{name}: dot at ({peak_x}, {peak_y}) but keypoint at {kp_new}"
     )
+
+
+@pytest.mark.parametrize("t", [1, 5])
+@pytest.mark.parametrize("n_fired", [0, 2, 9])
+def test_apply_per_group_sparse_equals_dense(t, n_fired):
+    """The sparse gathered-subset application of rare per-image ops must be
+    bit-identical to the branchless dense form, across the lax.cond
+    boundary (n_fired=9 > m forces the dense fallback) and for context
+    stacks (t>1 frames share one flag per group)."""
+    from lightning_pose_tpu.ops.augment import (
+        _apply_per_group,
+        _equalize_clahe_tiled,
+        _equalize_hist,
+    )
+
+    b = 16
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 256, (b * t, 64, 64, 3)).astype(np.float32)
+    )
+    apply_g = np.zeros(b, dtype=bool)
+    apply_g[rng.choice(b, n_fired, replace=False)] = True
+    apply_g = jnp.asarray(apply_g)
+    clip = jnp.asarray(rng.uniform(1.0, 4.0, b).astype(np.float32))
+
+    def rep(x):
+        return jnp.repeat(x, t, axis=0) if t > 1 else x
+
+    # histeq (no extras)
+    sparse = _apply_per_group(images, apply_g, t, _equalize_hist)
+    dense = jnp.where(
+        rep(apply_g)[:, None, None, None], _equalize_hist(images), images
+    )
+    np.testing.assert_array_equal(np.asarray(sparse), np.asarray(dense))
+
+    # clahe (per-image clip extra); grid=8 divides 64 into half-blocks
+    fn = lambda sub, cl: _equalize_clahe_tiled(sub, clip_limit=cl, grid=8)
+    sparse = _apply_per_group(images, apply_g, t, fn, extras=(clip,))
+    dense = jnp.where(
+        rep(apply_g)[:, None, None, None], fn(images, rep(clip)), images
+    )
+    np.testing.assert_array_equal(np.asarray(sparse), np.asarray(dense))
