@@ -151,7 +151,16 @@ class PredictVideoLoader:
             raise ValueError("yuv420 transfer requires even resize dims")
         self.transfer_format = transfer_format
         self.prefetch_batches = prefetch_batches
+        # fail fast on bad paths instead of iterating zero batches (the
+        # reference's DALI filename validation, reference dali.py:449-455)
+        if not os.path.isfile(self.video_file):
+            raise FileNotFoundError(
+                f"video file does not exist or is not a file: "
+                f"{self.video_file}"
+            )
         self.frame_count = count_frames(self.video_file)
+        if self.frame_count <= 0:
+            raise RuntimeError(f"could not decode any frames from {self.video_file}")
         self.bbox_df = bbox_df
         self.decode_threads = (
             decode_threads if decode_threads is not None
@@ -460,7 +469,19 @@ class UnlabeledVideoLoader:
         if transfer_format == "yuv420" and (self.h % 2 or self.w % 2):
             raise ValueError("yuv420 transfer requires even resize dims")
         self.transfer_format = transfer_format
+        # fail fast on bad paths (the reference's DALI filename validation,
+        # reference dali.py:449-455) instead of hanging the sampler
+        missing = [v for v in self.video_files if not os.path.isfile(v)]
+        if missing:
+            raise FileNotFoundError(f"unlabeled video files not found: {missing}")
         self.frame_counts = [count_frames(v) for v in self.video_files]
+        unreadable = [
+            v for v, n in zip(self.video_files, self.frame_counts) if n <= 0
+        ]
+        if unreadable:
+            raise RuntimeError(
+                f"could not decode any frames from: {unreadable}"
+            )
         n_workers = (
             decode_threads if decode_threads is not None
             else default_decode_threads()

@@ -219,3 +219,52 @@ def test_multiview_unlabeled_loader_parallel_views(mv_data_dir, monkeypatch):
         assert a["frames"].shape == (4, 2, 32, 32, 3)
         np.testing.assert_array_equal(a["frames"], b["frames"])
         np.testing.assert_array_equal(a["bbox"], b["bbox"])
+
+
+def test_predict_loader_missing_file_raises(tmp_path):
+    """Bad paths fail fast instead of yielding zero batches (reference
+    test_dali.py:138-159 nonexistent-file / directory-path cases)."""
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        PredictVideoLoader(str(tmp_path / "nope.mp4"), 8, 64, 64)
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        PredictVideoLoader(str(tmp_path), 8, 64, 64)  # directory
+
+
+def test_predict_loader_unreadable_file_raises(tmp_path):
+    bad = tmp_path / "garbage.mp4"
+    bad.write_bytes(b"not a video at all")
+    with pytest.raises(RuntimeError, match="could not decode"):
+        PredictVideoLoader(str(bad), 8, 64, 64)
+
+
+def test_unlabeled_loader_missing_file_raises(tmp_path, video_file):
+    with pytest.raises(FileNotFoundError, match="not found"):
+        UnlabeledVideoLoader(
+            [video_file, str(tmp_path / "nope.mp4")], 4, 64, 64, seed=0
+        )
+
+
+def test_multiview_predict_loader_mismatched_frames_raises(
+    tmp_path, video_file
+):
+    """Views with unequal frame counts must raise up front (reference
+    test_dali.py:249-266 / dali.py:483-506)."""
+    import cv2
+
+    from lightning_pose_tpu.data.video import MultiviewPredictVideoLoader
+
+    short = tmp_path / "short.mp4"
+    cap = cv2.VideoCapture(video_file)
+    wr = cv2.VideoWriter(
+        str(short), cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+        (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+         int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))),
+    )
+    for _ in range(10):
+        ret, frame = cap.read()
+        assert ret
+        wr.write(frame)
+    cap.release()
+    wr.release()
+    with pytest.raises(RuntimeError, match="mismatched frame counts"):
+        MultiviewPredictVideoLoader([video_file, str(short)], 8, 64, 64)
