@@ -15,7 +15,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/lp_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from lightning_pose_tpu.ops.augment import AugmentationEngine, build_spec  # noqa: E402
+from lightning_pose_tpu.ops.augment import AugmentationEngine  # noqa: E402
 
 B, H, W, K = 16, 256, 256, 17
 N_SCAN = 30
