@@ -1058,7 +1058,7 @@ def test_epoch_scan_matches_per_step(cfg, toy_data_dir):
     sb = jax.tree_util.tree_map(jnp.copy, variables.get("batch_stats", {}))
     state2, logs_stack = epoch_fn(
         fresh_state(pb, sb), cache, jnp.asarray(idxs_all),
-        jnp.asarray(valid_all), rng_key,
+        jnp.asarray(valid_all), rng_key, {},
     )
     p_scan = np.asarray(state2.params["head"]["deconv0"]["kernel"])
     scan_losses = [float(v) for v in np.asarray(logs_stack["total_loss"])]
