@@ -567,6 +567,40 @@ def _run_measurement(mode: str) -> None:
     print(json.dumps(out))
 
 
+def _preflight(timeout: int = 180, retries: int = 3, wait_s: int = 120) -> bool:
+    """Cheap device liveness check before committing to the long watchdog
+    timeouts: init jax + one tiny matmul in a subprocess. The remote-device
+    tunnel can hang indefinitely; without this a dead tunnel burns every
+    mode's full timeout (~1.5 h) before the error JSON appears."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128), jnp.bfloat16);"
+        "print('PREFLIGHT_OK', float(np.asarray(x @ x)[0, 0]))"
+    )
+    for attempt in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if proc.returncode == 0 and "PREFLIGHT_OK" in proc.stdout:
+                return True
+            print(
+                f"preflight attempt {attempt + 1}: rc={proc.returncode} "
+                f"{proc.stderr[-300:]}", file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"preflight attempt {attempt + 1}: device init timed out "
+                f"(tunnel hang?)", file=sys.stderr,
+            )
+        if attempt + 1 < retries:
+            time.sleep(wait_s)  # tunnel hiccups are often transient
+    return False
+
+
 def _watchdog(mode: str, timeout: int, retries: int = 2) -> dict | None:
     """Run one measurement in a subprocess with a timeout; retry on
     hang/failure (single tunnel RPCs can hang for minutes)."""
@@ -619,6 +653,17 @@ def main() -> None:
         r = _watchdog(single, timeout=600)
         print(json.dumps(r) if r else json.dumps({"metric": single, "value": 0.0,
               "unit": "", "vs_baseline": 0.0, "error": "measurement failed"}))
+        return
+
+    if not _preflight():
+        print(json.dumps({
+            "metric": "video_inference_fps_product_path_resnet50_heatmap",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": 0.0,
+            "error": "device preflight failed: accelerator unreachable "
+                     "(tunnel down?) after 3 attempts",
+        }))
         return
 
     product = _watchdog("product", timeout=600, retries=2)
