@@ -649,8 +649,20 @@ def main() -> None:
         _run_measurement(single or "product")
         return
 
+    # the scanned train program's / multiview predict's cold compile can
+    # exceed 10 min through the tunnel — give those modes the same window
+    # the full run allots
+    mode_timeouts = {"train": 900, "mv": 900}
+
     if single is not None:
-        r = _watchdog(single, timeout=600)
+        if not _preflight():
+            print(json.dumps({
+                "metric": single, "value": 0.0, "unit": "",
+                "vs_baseline": 0.0,
+                "error": "device preflight failed: accelerator unreachable",
+            }))
+            return
+        r = _watchdog(single, timeout=mode_timeouts.get(single, 600))
         print(json.dumps(r) if r else json.dumps({"metric": single, "value": 0.0,
               "unit": "", "vs_baseline": 0.0, "error": "measurement failed"}))
         return

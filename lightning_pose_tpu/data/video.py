@@ -91,7 +91,6 @@ class VideoFrameDecoder:
         self.cap = cv2.VideoCapture(self.video_file)
         if not self.cap.isOpened():
             raise FileNotFoundError(f"could not open video {video_file}")
-        self.frame_count = count_frames(self.video_file)
         self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
         self.orig_height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         self.orig_width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
@@ -653,6 +652,10 @@ class MultiviewUnlabeledVideoLoader:
             if frame is None:
                 break
             frames.append(frame)
+        if not frames:
+            # container metadata can overstate the frame count; a seek past
+            # the real end yields nothing (same guard as _decode_window)
+            frames = [np.zeros((self.h, self.w, 3), dtype=np.uint8)]
         while len(frames) < self.seq_len:
             frames.append(frames[-1])
         bbox = np.tile(

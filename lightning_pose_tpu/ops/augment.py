@@ -206,7 +206,6 @@ def _hflip_matrix(flip: jax.Array, h: int, w: int) -> jax.Array:
 
 def _coarse_mask(rng, b, h, w, drop_p, size_percent) -> jax.Array:
     """Low-res boolean drop mask upsampled to (b, h, w, 1); True = keep."""
-    lh = jnp.maximum(1, int(h * size_percent)) if isinstance(size_percent, float) else None
     lh = max(1, int(h * size_percent))
     lw = max(1, int(w * size_percent))
     low = jax.random.uniform(rng, (b, lh, lw, 1)) >= drop_p
@@ -713,7 +712,9 @@ class AugmentationEngine:
 
         h, w = self.h, self.w
         images = images.astype(jnp.float32)
-        keys = jax.random.split(rng, 27)
+        # one key per independent draw; keys[14..16] feed the three
+        # per-channel CoarseDropout masks, so nothing else may reuse them
+        keys = jax.random.split(rng, 28)
 
         spec = self.spec
         forward = _identity(b)  # keypoint matrix: new = F @ old
@@ -721,7 +722,7 @@ class AugmentationEngine:
         if spec["rot90"] is not None:
             # Rot90 (reference augmentations.py:138-144)
             choices = jnp.asarray(spec["rot90"]["k"])
-            apply = jax.random.uniform(keys[16], (b,)) < spec["rot90"]["p"]
+            apply = jax.random.uniform(keys[27], (b,)) < spec["rot90"]["p"]
             k = choices[jax.random.randint(keys[0], (b,), 0, len(spec["rot90"]["k"]))]
             k = jnp.where(apply, k, 0)
             forward = _rot90_matrix(k, h, w) @ forward
