@@ -101,7 +101,7 @@ RUNS = {
 # check_val_every_n_epoch epochs) on stall
 # must exceed the scanned train program's cold XLA compile, which alone
 # can pass 10 min through the tunnel (nothing is written during compile)
-STALL_SECS = 900
+STALL_SECS = int(os.environ.get("SEMISUP_DEMO_STALL_SECS", "900"))
 MAX_ATTEMPTS = 6
 
 
