@@ -70,15 +70,17 @@ def make_multiview_split(out: Path) -> None:
 
 
 def base_overrides(data_dir: Path, model_type: str) -> list[str]:
+    epochs = int(os.environ.get("EVAL_DARK_EPOCHS", "100"))  # smoke tests
     ov = [
         f"data.data_dir={data_dir}",
         f"data.video_dir={data_dir}/videos",
         "training.train_prob=0.8",
         "training.val_prob=0.1",
-        "training.max_epochs=100",
-        "training.min_epochs=100",
-        "training.lr_scheduler_params.multisteplr.milestones=[50,75]",
-        "training.check_val_every_n_epoch=20",
+        f"training.max_epochs={epochs}",
+        f"training.min_epochs={epochs}",
+        "training.lr_scheduler_params.multisteplr.milestones="
+        f"[{epochs // 2},{epochs * 3 // 4}]",
+        f"training.check_val_every_n_epoch={max(1, min(20, epochs // 5))}",
         "training.unfreezing_epoch=0",
         f"model.model_type={model_type}",
         f"model.model_name=dark-eval-{model_type}",
@@ -125,13 +127,95 @@ def pixel_error_by_split(preds: pd.DataFrame, labels: pd.DataFrame) -> pd.Series
     return per_frame.groupby(sets.to_numpy()).mean()
 
 
-def main() -> None:
-    model_type = sys.argv[1] if len(sys.argv) > 1 else "heatmap"
-    out_root = Path(sys.argv[2] if len(sys.argv) > 2 else "outputs/dark_eval")
-    model_dir = out_root / model_type
+def _train_complete(model_dir: Path) -> bool:
+    import json
 
+    status = model_dir / "train_status.json"
+    if not status.exists():
+        return False
+    try:
+        return json.loads(status.read_text()).get("status") == "COMPLETED"
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def _force_cpu_if_requested() -> None:
+    """EVAL_DARK_CPU=1 runs on CPU (plumbing smoke tests; the axon TPU
+    plugin overrides JAX_PLATFORMS so we must force in-process)."""
+    if os.environ.get("EVAL_DARK_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _train_child(model_type: str, data_dir: Path, model_dir: Path,
+                 resume: bool) -> None:
+    import jax
+
+    _force_cpu_if_requested()
+    # persistent compile cache so watchdog restarts skip the cold compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from lightning_pose_tpu.config import load_config
     from lightning_pose_tpu.train import train
+
+    cfg = load_config()
+    cfg.apply_overrides(
+        base_overrides(data_dir, model_type)
+        + (["training.resume=true"] if resume else [])
+    )
+    train(cfg, model_dir=model_dir, skip_evaluation=True)
+
+
+# remote-TPU tunnel RPCs can hang for many minutes; train in a watched
+# child process and kill+resume on stall (same recipe as semisup_demo.py)
+STALL_SECS = int(os.environ.get("EVAL_DARK_STALL_SECS", "900"))
+MAX_ATTEMPTS = 6
+
+
+def _newest_mtime(out_dir: Path) -> float:
+    newest = 0.0
+    if out_dir.exists():
+        for p in out_dir.rglob("*"):
+            try:
+                newest = max(newest, p.stat().st_mtime)
+            except OSError:
+                pass
+    return newest
+
+
+def _train_watched(model_type: str, out_root: Path, model_dir: Path) -> None:
+    import subprocess
+    import time
+
+    for attempt in range(MAX_ATTEMPTS):
+        cmd = [sys.executable, os.path.abspath(__file__), model_type,
+               str(out_root), "--child-train"]
+        if attempt > 0:
+            cmd.append("--resume")
+        proc = subprocess.Popen(cmd)
+        start = time.time()
+        while proc.poll() is None:
+            time.sleep(30)
+            last = max(_newest_mtime(model_dir), start)
+            if time.time() - last > STALL_SECS:
+                print(f"[watchdog] attempt {attempt + 1}: no progress for "
+                      f"{STALL_SECS}s — killing (tunnel hang?)", flush=True)
+                proc.kill()
+                proc.wait()
+                break
+        if proc.returncode == 0:
+            return
+        time.sleep(30)
+    raise SystemExit(f"{model_type}: training failed after "
+                     f"{MAX_ATTEMPTS} attempts")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    model_type = args[0] if args else "heatmap"
+    out_root = Path(args[1] if len(args) > 1 else "outputs/dark_eval")
+    model_dir = out_root / model_type
 
     if model_type == "heatmap_multiview":
         data_dir = out_root / "mv_data"
@@ -139,11 +223,15 @@ def main() -> None:
     else:
         data_dir = DATA_DIR
 
-    if not (model_dir / "config.yaml").exists():
-        cfg = load_config()
-        cfg.apply_overrides(base_overrides(data_dir, model_type))
-        train(cfg, model_dir=model_dir, skip_evaluation=True)
+    if "--child-train" in sys.argv:
+        _train_child(model_type, data_dir, model_dir,
+                     resume="--resume" in sys.argv)
+        return
 
+    if not _train_complete(model_dir):
+        _train_watched(model_type, out_root, model_dir)
+
+    _force_cpu_if_requested()
     from lightning_pose_tpu.api.model import Model
     from lightning_pose_tpu.config import load_config as _lc
 
