@@ -34,6 +34,11 @@ def main() -> None:
     out: dict[str, Path] = {}
     for precision in ("fp32", "bf16"):
         model = Model.from_dir(model_dir, precision=precision)
+        if isinstance(model.cfg.data.csv_file, (list, tuple)):
+            raise SystemExit(
+                "eval_precision.py supports single-view models only; "
+                "this model is multiview (cfg.data.csv_file is a list)."
+            )
         csv_file = sys.argv[2] if len(sys.argv) > 2 else (
             Path(model.cfg.data.data_dir) / model.cfg.data.csv_file
         )
@@ -48,7 +53,6 @@ def main() -> None:
     dfs = {
         k: pd.read_csv(v, header=[0, 1, 2], index_col=0) for k, v in out.items()
     }
-    stats = {}
     coords = {}
     for k, df in dfs.items():
         sub = df.loc[:, df.columns.get_level_values("coords").isin(["x", "y"])]
@@ -59,9 +63,20 @@ def main() -> None:
     dev = np.sqrt(
         ((xy32 - xy16).reshape(len(xy32), -1, 2) ** 2).sum(-1)
     ).ravel()
-    dev = dev[np.isfinite(dev)]
+    # a NaN/Inf prediction under bf16 is the worst precision failure this
+    # script exists to catch — report those explicitly, never drop them
+    finite = np.isfinite(dev)
+    n_nonfinite = int((~finite).sum())
+    dev = dev[finite]
+    if dev.size == 0:
+        raise SystemExit(
+            f"no finite deviations to report ({n_nonfinite} non-finite "
+            "keypoint deviations — one of the precision paths produced "
+            "NaN/Inf predictions everywhere)"
+        )
     stats = {
         "n_keypoints": int(dev.size),
+        "n_nonfinite": n_nonfinite,
         "median_px": float(np.median(dev)),
         "mean_px": float(dev.mean()),
         "p99_px": float(np.percentile(dev, 99)),
