@@ -454,6 +454,183 @@ def bench_train() -> dict:
     }
 
 
+def bench_train_semisup() -> dict:
+    """Semi-supervised training throughput — the framework's headline mode
+    (BASELINE row 1's configs are run semi-supervised in practice; reference
+    hot loop: reference models/base.py:576-665). ResNet-50 heatmap +
+    pca_singleview + temporal unsupervised losses over a REAL unlabeled
+    window stream from the mirror-mouse test video (YUV 4:2:0 transfer on
+    TPU), scanned semisup epochs, bs16/256px.
+
+    Reports:
+      - steps/sec + MFU with the epoch's unlabeled windows already resident
+        in HBM (the steady state of the scanned-epoch pipeline, where the
+        host decodes epoch t+1 while epoch t executes),
+      - the measured host->device transfer cost of one epoch's unlabeled
+        stack (``unlabeled_transfer_ms_per_step``) so the non-overlapped
+        worst case is visible too.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightning_pose_tpu.config import load_config
+    from lightning_pose_tpu.data.factory import get_data_module, get_dataset
+    from lightning_pose_tpu.losses.factory import get_loss_factories
+    from lightning_pose_tpu.models.heatmap_tracker import HeatmapTracker
+    from lightning_pose_tpu.ops.augment import AugmentationEngine
+    from lightning_pose_tpu.train.trainer import (
+        TrainState,
+        make_optimizer,
+        make_step_fns,
+    )
+
+    # LP_BENCH_SMOKE shrinks everything for CPU plumbing tests
+    smoke = bool(os.environ.get("LP_BENCH_SMOKE"))
+    size = 128 if smoke else SIZE
+    backbone = "resnet18" if smoke else "resnet50"
+    bs = 2 if smoke else 16
+    n_cache = 8 if smoke else 64
+    n_steps = 2 if smoke else 15  # scan length: amortize RPC, short compile
+    num_keypoints = 17
+
+    cfg = load_config()
+    cfg.data.data_dir = DATA_DIR
+    cfg.data.video_dir = str(Path(DATA_DIR) / "videos")
+    cfg.data.csv_file = "CollectedData.csv"
+    cfg.data.num_keypoints = num_keypoints
+    cfg.data.image_resize_dims.height = size
+    cfg.data.image_resize_dims.width = size
+    # mirror-mouse PCA setup (reference config_mirror-mouse-example.yaml:32-35)
+    cfg.data.columns_for_singleview_pca = [0, 1, 2, 3, 4, 5, 6, 8, 9, 10,
+                                           11, 12, 13, 14]
+    cfg.training.train_batch_size = bs
+    cfg.training.imgaug = "dlc"
+    cfg.model.model_type = "heatmap"
+    cfg.model.backbone = backbone
+    cfg.model.losses_to_use = ["pca_singleview", "temporal"]
+
+    # product factories: real dataset (PCA fit source) + real unlabeled
+    # video stream (YUV 4:2:0 on TPU, RGB elsewhere)
+    dataset = get_dataset(cfg, DATA_DIR)
+    data_module = get_data_module(cfg, dataset, cfg.data.video_dir)
+    loss_factories = get_loss_factories(cfg, data_module)
+
+    model = HeatmapTracker(
+        backbone_arch=backbone, num_keypoints=num_keypoints,
+        image_size=size, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng, jnp.zeros((bs, size, size, 3), dtype=jnp.float32), train=False
+    )
+    tx, _, _ = make_optimizer(cfg, 100, variables["params"])
+    state = TrainState(
+        step=jnp.asarray(0, dtype=jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    augmenter = AugmentationEngine(
+        pipeline="dlc", image_height=size, image_width=size
+    )
+    meta = {
+        "model_type": "heatmap",
+        "semi_supervised": True,
+        "downsample_factor": 2,
+        "num_keypoints": num_keypoints,
+        "image_size": size,
+    }
+    *_, train_step_cached, train_epoch_cached = make_step_fns(
+        model, meta, loss_factories, augmenter, cfg, tx, 100
+    )
+
+    # same synthetic labeled cache as bench_train so the semisup delta is
+    # attributable to the unlabeled stream + losses alone
+    np_rng = np.random.default_rng(0)
+    cache = {
+        "images": jax.device_put(
+            np_rng.integers(0, 255, (n_cache, size, size, 3)).astype(np.uint8)
+        ),
+        "keypoints": jax.device_put(
+            np_rng.uniform(20, size - 20, (n_cache, num_keypoints, 2)).astype(
+                np.float32
+            )
+        ),
+        "visibility": jax.device_put(
+            np.full((n_cache, num_keypoints), 2, dtype=np.int64)
+        ),
+        "bbox": jax.device_put(
+            np.tile(
+                np.asarray([0.0, 0.0, 406.0, 396.0], dtype=np.float32),
+                (n_cache, 1),
+            )
+        ),
+    }
+    idxs_all = np_rng.integers(0, n_cache, (n_steps, bs)).astype(np.int32)
+    valid_all = np.ones((n_steps, bs), dtype=bool)
+    idxs_dev = jax.device_put(idxs_all)
+    valid_dev = jax.device_put(valid_all)
+    step_rng = jax.random.PRNGKey(1)
+
+    # one epoch's unlabeled windows, stacked (steps, ...) — exactly what the
+    # trainer's epoch-prefetch ships (trainer.py:1076-1089)
+    windows = [next(data_module.unlabeled_loader) for _ in range(n_steps)]
+    unlabeled_host = {
+        k: np.stack([np.asarray(w[k]) for w in windows]) for k in windows[0]
+    }
+    data_module.close()
+    ul_bytes = sum(v.nbytes for v in unlabeled_host.values())
+
+    # measured transfer cost of one epoch's unlabeled stack
+    t0 = time.time()
+    unlabeled_all = jax.device_put(unlabeled_host)
+    np.asarray(jax.tree_util.tree_leaves(unlabeled_all)[0][0, 0])  # sync
+    transfer_sec = time.time() - t0
+
+    flops_step = _compiled_flops(
+        train_step_cached.lower(
+            state, cache, idxs_dev[0], valid_dev[0], step_rng,
+            {k: v[0] for k, v in unlabeled_all.items()},
+        ).compile()
+    )
+    flops = flops_step * n_steps if flops_step else None
+
+    # warmup (compile + first run); state is donated so chain it through
+    state, logs = train_epoch_cached(
+        state, cache, idxs_dev, valid_dev, step_rng, unlabeled_all
+    )
+    np.asarray(logs["total_loss"])
+
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        state, logs = train_epoch_cached(
+            state, cache, idxs_dev, valid_dev, step_rng, unlabeled_all
+        )
+        losses = np.asarray(logs["total_loss"])  # host sync
+        t1 = time.time()
+        assert losses.shape == (n_steps,) and np.isfinite(losses).all()
+        ul_loss = np.asarray(logs["train_unsupervised_loss"])
+        assert np.isfinite(ul_loss).all()
+        elapsed = min(elapsed, t1 - t0)
+
+    steps_per_sec = n_steps / elapsed
+    mfu = None
+    if flops:
+        mfu = (flops / elapsed) / _device_peak_flops() * 100.0
+    t4_steps_per_sec = 3000 / 1200.0  # see bench_train
+    return {
+        "steps_per_sec": steps_per_sec,
+        "ms_per_step": 1000.0 / steps_per_sec,
+        "sec": elapsed,
+        "mfu_pct": mfu,
+        "vs_t4_train": steps_per_sec / t4_steps_per_sec,
+        "unlabeled_transfer_ms_per_step": 1000.0 * transfer_sec / n_steps,
+        "unlabeled_mb_per_step": ul_bytes / n_steps / 1e6,
+    }
+
+
 def bench_raw() -> dict:
     """Round-1 metric: the raw decode+transfer+forward loop only."""
     import jax
@@ -556,6 +733,20 @@ def _run_measurement(mode: str) -> None:
             "ms_per_step": round(r["ms_per_step"], 1),
             "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
         }
+    elif mode == "train-semisup":
+        r = bench_train_semisup()
+        out = {
+            "metric": "train_semisup_steps_per_sec_resnet50_heatmap_bs16",
+            "value": round(r["steps_per_sec"], 3),
+            "unit": "steps/sec",
+            "vs_baseline": round(r["vs_t4_train"], 2),
+            "ms_per_step": round(r["ms_per_step"], 1),
+            "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+            "unlabeled_transfer_ms_per_step": round(
+                r["unlabeled_transfer_ms_per_step"], 1
+            ),
+            "unlabeled_mb_per_step": round(r["unlabeled_mb_per_step"], 2),
+        }
     else:
         r = bench_product()
         out = {
@@ -638,7 +829,8 @@ def main() -> None:
 
     --raw / --device / --train run a single measurement (still
     watchdogged); --child --<mode> is the in-process measurement."""
-    for mode in ("raw", "device", "train", "product", "mv", "vit"):
+    for mode in ("raw", "device", "train-semisup", "train", "product", "mv",
+                 "vit"):
         if f"--{mode}" in sys.argv:
             single = mode
             break
@@ -652,7 +844,7 @@ def main() -> None:
     # the scanned train program's / multiview predict's cold compile can
     # exceed 10 min through the tunnel — give those modes the same window
     # the full run allots
-    mode_timeouts = {"train": 900, "mv": 900}
+    mode_timeouts = {"train": 900, "mv": 900, "train-semisup": 900}
 
     if single is not None:
         if not _preflight():
@@ -683,6 +875,7 @@ def main() -> None:
     # the scanned train program's cold compile alone can exceed 10 min
     # through the tunnel; the persistent cache makes retries fast
     train = _watchdog("train", timeout=900, retries=2)
+    train_semisup = _watchdog("train-semisup", timeout=900, retries=2)
     mv = _watchdog("mv", timeout=900, retries=1)
     vit = _watchdog("vit", timeout=480, retries=1)
 
@@ -703,6 +896,13 @@ def main() -> None:
         out["train_ms_per_step"] = train.get("ms_per_step")
         out["train_mfu_pct"] = train.get("mfu_pct")
         out["train_vs_t4_20min_baseline"] = train.get("vs_baseline")
+    if train_semisup is not None:
+        out["train_semisup_steps_per_sec"] = train_semisup["value"]
+        out["train_semisup_ms_per_step"] = train_semisup.get("ms_per_step")
+        out["train_semisup_mfu_pct"] = train_semisup.get("mfu_pct")
+        out["train_semisup_unlabeled_transfer_ms_per_step"] = (
+            train_semisup.get("unlabeled_transfer_ms_per_step")
+        )
     if mv is not None:
         out["multiview_2view_fps"] = mv["value"]
         out["multiview_vs_t4_baseline"] = mv.get("vs_baseline")

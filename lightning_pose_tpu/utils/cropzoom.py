@@ -31,16 +31,35 @@ __all__ = [
 ]
 
 
+def _round_up_to_even(values):
+    """Even dimensions keep video players happy."""
+    return values + values % 2
+
+
 def _calculate_bbox_size(keypoints_per_frame: np.ndarray, crop_ratio: float) -> np.ndarray:
     """Square bbox size per frame from the keypoint span x crop_ratio,
-    rounded up to even (reference cropzoom.py:40-62)."""
-    x = keypoints_per_frame[:, :, 0]
-    y = keypoints_per_frame[:, :, 1]
-    max_x_diff = np.nanmax(x, axis=1) - np.nanmin(x, axis=1)
-    max_y_diff = np.nanmax(y, axis=1) - np.nanmin(y, axis=1)
-    size = np.ceil(np.maximum(max_x_diff, max_y_diff) * crop_ratio).astype(int)
-    size = np.where(size % 2 == 0, size, size + 1)
-    return np.column_stack((size, size))
+    rounded up to even (reference cropzoom.py:40-62). NaN keypoints are
+    ignored (divergence: the reference propagates them)."""
+    spans = np.nanmax(keypoints_per_frame, axis=1) - np.nanmin(
+        keypoints_per_frame, axis=1
+    )  # (frames, 2): per-axis extent of the animal
+    side = _round_up_to_even(
+        np.ceil(spans.max(axis=1) * crop_ratio).astype(int)
+    )
+    return np.repeat(side[:, None], 2, axis=1)
+
+
+def _anchor_coords(pred_df: pd.DataFrame, anchor_keypoints: list[str]) -> np.ndarray:
+    """(frames, keypoints, 2) coordinate array restricted to the anchor
+    keypoints (all keypoints when the anchor list is empty)."""
+    columns = pred_df.columns
+    keep = columns.get_level_values("coords").isin(["x", "y"])
+    if anchor_keypoints:
+        known = set(columns.get_level_values("bodyparts"))
+        invalid = set(anchor_keypoints) - known
+        assert not invalid, f"Anchor keypoints not found in DataFrame: {invalid}"
+        keep &= columns.get_level_values("bodyparts").isin(anchor_keypoints)
+    return pred_df.loc[:, keep].to_numpy().reshape(len(pred_df), -1, 2)
 
 
 def _compute_bbox_df(
@@ -50,7 +69,12 @@ def _compute_bbox_df(
     crop_height: int | None = None,
     crop_width: int | None = None,
 ) -> pd.DataFrame:
-    """Bbox DataFrame [x, y, h, w] per frame (reference cropzoom.py:65-143)."""
+    """Bbox DataFrame [x, y, h, w] per frame (reference cropzoom.py:65-143).
+
+    The box is centred on the per-frame centroid of the anchor keypoints and
+    sized either by scaling the keypoint span (``crop_ratio``) or to a fixed
+    ``(crop_height, crop_width)``. Exactly one sizing mode must be given.
+    """
     fixed_size_mode = crop_height is not None and crop_width is not None
     if fixed_size_mode and crop_ratio is not None:
         raise ValueError(
@@ -61,30 +85,17 @@ def _compute_bbox_df(
             "one of crop_ratio or (crop_height, crop_width) must be provided."
         )
 
-    coord_mask = pred_df.columns.get_level_values("coords").isin(["x", "y"])
-    if len(anchor_keypoints) > 0:
-        invalid = set(anchor_keypoints) - set(
-            pred_df.columns.get_level_values("bodyparts")
-        )
-        assert not invalid, f"Anchor keypoints not found in DataFrame: {invalid}"
-        coord_mask &= pred_df.columns.get_level_values("bodyparts").isin(
-            anchor_keypoints
-        )
-
-    keypoints_per_frame = (
-        pred_df.loc[:, coord_mask].to_numpy().reshape(pred_df.shape[0], -1, 2)
-    )
+    coords = _anchor_coords(pred_df, anchor_keypoints)
     if fixed_size_mode:
-        crop_height += crop_height % 2
-        crop_width += crop_width % 2
-        bbox_sizes = np.tile([crop_height, crop_width], (len(pred_df), 1))
+        hw = [_round_up_to_even(crop_height), _round_up_to_even(crop_width)]
+        sizes = np.tile(hw, (len(pred_df), 1))
     else:
-        bbox_sizes = _calculate_bbox_size(keypoints_per_frame, crop_ratio=crop_ratio)
-    centroids = np.nanmean(keypoints_per_frame, axis=1)
-    bbox_toplefts = np.int64(centroids - bbox_sizes // 2)
-    bboxes = np.concatenate([bbox_toplefts, bbox_sizes], axis=1)
+        sizes = _calculate_bbox_size(coords, crop_ratio=crop_ratio)
+    top_left = np.int64(np.nanmean(coords, axis=1) - sizes // 2)
     return pd.DataFrame(
-        bboxes, index=pd.Index(pred_df.index), columns=pd.Index(["x", "y", "h", "w"])
+        np.concatenate([top_left, sizes], axis=1),
+        index=pd.Index(pred_df.index),
+        columns=pd.Index(["x", "y", "h", "w"]),
     )
 
 

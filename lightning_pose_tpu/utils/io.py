@@ -12,7 +12,6 @@ jnp arrays at the batch boundary.
 
 from __future__ import annotations
 
-import collections
 import glob
 import logging
 import os
@@ -44,6 +43,73 @@ __all__ = [
     "make_dlc_pandas_index",
 ]
 
+# Two-row header layouts place keypoint names on level 0 with coords on
+# level 1; the DLC default [0, 2, 3]-style layout puts the scorer first.
+_TWO_ROW_HEADERS = ([1, 2], [0, 1])
+_ALLOWED_VISIBILITY = frozenset({0.0, 1.0, 2.0})
+
+
+# --------------------------------------------------------------------------------
+# label CSVs
+# --------------------------------------------------------------------------------
+
+
+def fix_empty_first_row(df: pd.DataFrame) -> pd.DataFrame:
+    """Restore an all-NaN first data row that pandas absorbed as an index name.
+
+    With a multi-row header, pandas cannot distinguish an index-name row from
+    a data row of all NaNs and drops the latter into ``df.index.name``
+    (pandas gh-21995; reference utils/io.py:529). If no index name is set the
+    frame is returned untouched.
+    """
+    lost_row_label = df.index.name
+    if lost_row_label is None:
+        return df
+    restored = pd.DataFrame(
+        np.nan,
+        index=pd.Index([lost_row_label]),
+        columns=df.columns,
+        dtype="float64",
+    )
+    df = pd.concat([restored, df])
+    assert df.index.name is None
+    return df
+
+
+def _keypoint_level_names(columns: pd.MultiIndex, header_rows: list[int]) -> list[str]:
+    """Ordered keypoint names from a label-CSV column MultiIndex.
+
+    The name level sits directly above the coords level: level 0 for two-row
+    headers, level 1 for the DLC scorer/bodyparts/coords layout. Order follows
+    the file's column order (``columns.levels`` would sort alphabetically).
+    """
+    name_level = 0 if header_rows in _TWO_ROW_HEADERS else 1
+    coord_level = name_level + 1
+    return [col[name_level] for col in columns if col[coord_level] == "x"]
+
+
+def _split_visibility(table: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Split an (x, y, visible)-per-keypoint table into coords + flags.
+
+    Returns ``(N, K, 2)`` float32 coordinates and ``(N, K)`` int64 visibility.
+    Raises ValueError when flags stray outside {0, 1, 2}.
+    """
+    coord_level = table.columns.get_level_values(2)
+    coords = (
+        table.loc[:, coord_level.isin(("x", "y"))]
+        .to_numpy(dtype=np.float32)
+        .reshape(len(table), -1, 2)
+    )
+    flags = table.loc[:, coord_level == "visible"].to_numpy(dtype=np.float32)
+    observed = set(np.unique(flags[~np.isnan(flags)]).tolist())
+    invalid_vals = observed - _ALLOWED_VISIBILITY
+    if invalid_vals:
+        raise ValueError(
+            f"visibility column contains invalid values {invalid_vals}; "
+            "expected values in {0, 1, 2}"
+        )
+    return np.ascontiguousarray(coords), flags.astype(np.int64)
+
 
 @dataclass
 class LabeledData:
@@ -63,23 +129,6 @@ class LabeledData:
     visibility: np.ndarray | None
 
 
-def fix_empty_first_row(df: pd.DataFrame) -> pd.DataFrame:
-    """Restore an all-NaN first data row that pandas absorbed as an index name.
-
-    With a multi-row header, pandas treats a first row of all NaNs as the
-    index-name row and drops it (reference utils/io.py:529).
-    """
-    if df.index.name is not None:
-        new_row = {col: np.nan for col in df.columns}
-        prepend_df = pd.DataFrame(
-            new_row, index=pd.Index([df.index.name]), columns=df.columns, dtype="float64"
-        )
-        fixed_df = pd.concat([prepend_df, df])
-        assert fixed_df.index.name is None
-        return fixed_df
-    return df
-
-
 def parse_label_csv(csv_file: str, header_rows: list[int] | None = None) -> LabeledData:
     """Parse a DLC-format label CSV in a single read (reference utils/io.py:208).
 
@@ -87,42 +136,27 @@ def parse_label_csv(csv_file: str, header_rows: list[int] | None = None) -> Labe
     keypoint contributes (x, y, visible) columns and visibility flags are
     returned; values outside {0, 1, 2} raise.
     """
-    if header_rows is None:
-        header_rows = [0, 1, 2]
+    header_rows = header_rows or [0, 1, 2]
     if not os.path.exists(csv_file):
         raise FileNotFoundError(f"could not find csv file at {csv_file}")
 
-    csv_data = pd.read_csv(csv_file, header=header_rows, index_col=0)
-    csv_data = fix_empty_first_row(csv_data)
+    table = fix_empty_first_row(
+        pd.read_csv(csv_file, header=header_rows, index_col=0)
+    )
+    names = _keypoint_level_names(table.columns, header_rows)
 
-    if header_rows in ([1, 2], [0, 1]):
-        keypoint_names = [b[0] for b in csv_data.columns if b[1] == "x"]
+    carries_visibility = header_rows == [0, 1, 2] and any(
+        col[2] == "visible" for col in table.columns
+    )
+    if carries_visibility:
+        keypoints, visibility = _split_visibility(table)
     else:
-        keypoint_names = [b[1] for b in csv_data.columns if b[2] == "x"]
-
-    image_names = list(csv_data.index)
-
-    has_vis = header_rows == [0, 1, 2] and any(b[2] == "visible" for b in csv_data.columns)
-    raw = csv_data.to_numpy(dtype=np.float32)
-    if has_vis:
-        raw = raw.reshape(raw.shape[0], -1, 3)
-        keypoints = np.ascontiguousarray(raw[:, :, :2])
-        vis_float = raw[:, :, 2]
-        unique_vals = set(np.unique(vis_float[~np.isnan(vis_float)]).tolist())
-        invalid_vals = unique_vals - {0.0, 1.0, 2.0}
-        if invalid_vals:
-            raise ValueError(
-                f"visibility column contains invalid values {invalid_vals}; "
-                "expected values in {0, 1, 2}"
-            )
-        visibility: np.ndarray | None = vis_float.astype(np.int64)
-    else:
-        keypoints = raw.reshape(raw.shape[0], -1, 2)
+        keypoints = table.to_numpy(dtype=np.float32).reshape(len(table), -1, 2)
         visibility = None
 
     return LabeledData(
-        keypoint_names=keypoint_names,
-        image_names=image_names,
+        keypoint_names=names,
+        image_names=list(table.index),
         keypoints=keypoints,
         visibility=visibility,
     )
@@ -134,26 +168,27 @@ def get_keypoint_names(
     header_rows: list[int] | None = None,
 ) -> list[str]:
     """Return keypoint names from a label CSV or the config (reference utils/io.py:149)."""
-    if header_rows is None:
-        header_rows = [0, 1, 2]
+    header_rows = header_rows or [0, 1, 2]
     if csv_file is not None and os.path.exists(csv_file):
-        csv_data = pd.read_csv(csv_file, header=header_rows, nrows=5)
-        if header_rows in ([1, 2], [0, 1]):
-            keypoint_names = [b[0] for b in csv_data.columns if b[1] == "x"]
-        else:
-            keypoint_names = [b[1] for b in csv_data.columns if b[2] == "x"]
-    else:
-        assert cfg is not None, "cfg must be provided when csv_file is not given"
-        if cfg.data.get("keypoint_names", None):
-            keypoint_names = list(cfg.data.keypoint_names)
-        else:
-            keypoint_names = [f"bp_{n}" for n in range(cfg.data.num_keypoints)]
-    return keypoint_names
+        # only the header matters; a handful of rows is enough to build it
+        preview = pd.read_csv(csv_file, header=header_rows, nrows=5)
+        return _keypoint_level_names(preview.columns, header_rows)
+    assert cfg is not None, "cfg must be provided when csv_file is not given"
+    configured = cfg.data.get("keypoint_names", None)
+    if configured:
+        return list(configured)
+    return [f"bp_{n}" for n in range(cfg.data.num_keypoints)]
 
 
 # --------------------------------------------------------------------------------
 # checkpoint discovery
 # --------------------------------------------------------------------------------
+
+
+def _ckpt_step(path: str) -> int:
+    """Step count embedded in a checkpoint filename, or -1."""
+    m = re.search(r"step=(\d+)", path)
+    return int(m.group(1)) if m else -1
 
 
 def ckpt_path_from_base_path(
@@ -166,7 +201,7 @@ def ckpt_path_from_base_path(
     Prioritizes ``*-best.ckpt`` in the highest ``version_*`` directory, falling
     back to the highest-step checkpoint. Returns None when nothing is found.
     """
-    model_search_path = os.path.join(
+    pattern = os.path.join(
         base_path,
         logging_dir_name,
         glob.escape(model_name),
@@ -174,48 +209,36 @@ def ckpt_path_from_base_path(
         "checkpoints",
         "*.ckpt",
     )
-    all_checkpoint_files = glob.glob(model_search_path)
-    if not all_checkpoint_files:
+    by_version: dict[int, list[str]] = {}
+    for path in glob.glob(pattern):
+        m = re.search(r"version_(\d+)", path)
+        if m:
+            by_version.setdefault(int(m.group(1)), []).append(path)
+    if not by_version:
         return None
 
-    ckpt_files_by_version: dict[int, list[str]] = {}
-    for f in all_checkpoint_files:
-        match = re.search(r"version_(\d+)", f)
-        if match:
-            ckpt_files_by_version.setdefault(int(match.group(1)), []).append(f)
-    if not ckpt_files_by_version:
-        return None
-
-    latest_version_files = ckpt_files_by_version[max(ckpt_files_by_version)]
-    best_ckpt_files = [
-        f for f in latest_version_files if "-best.ckpt" in os.path.basename(f)
-    ]
-
-    def _step(f: str) -> int:
-        m = re.search(r"step=(\d+)", f)
-        return int(m.group(1)) if m else -1
-
-    if len(best_ckpt_files) == 1:
-        return best_ckpt_files[0]
-    if len(best_ckpt_files) > 1:
-        logger.warning(
-            f"Multiple 'best' checkpoint files found: {best_ckpt_files}. "
-            "Selecting the one with the highest step count."
-        )
-        return sorted(best_ckpt_files, key=_step)[-1]
+    candidates = by_version[max(by_version)]
+    best = [p for p in candidates if "-best.ckpt" in os.path.basename(p)]
+    if best:
+        if len(best) > 1:
+            logger.warning(
+                f"Multiple 'best' checkpoint files found: {best}. "
+                "Selecting the one with the highest step count."
+            )
+        return max(best, key=_ckpt_step)
 
     logger.warning("No 'best' checkpoint found, falling back to latest checkpoint.")
-    if len(latest_version_files) == 1:
-        return latest_version_files[0]
-    with_steps = [f for f in latest_version_files if _step(f) >= 0]
-    if with_steps:
-        return sorted(with_steps, key=_step)[-1]
-    raise ValueError(
-        "Multiple checkpoint files found but cannot determine which "
-        f"to use: {latest_version_files}. "
-        "None are marked as 'best' and cannot parse step counts to determine latest. "
-        "Please manually select the appropriate checkpoint."
-    )
+    if len(candidates) == 1:
+        return candidates[0]
+    stepped = [p for p in candidates if _ckpt_step(p) >= 0]
+    if not stepped:
+        raise ValueError(
+            "Multiple checkpoint files found but cannot determine which "
+            f"to use: {candidates}. "
+            "None are marked as 'best' and cannot parse step counts to determine latest. "
+            "Please manually select the appropriate checkpoint."
+        )
+    return max(stepped, key=_ckpt_step)
 
 
 # --------------------------------------------------------------------------------
@@ -224,27 +247,33 @@ def ckpt_path_from_base_path(
 
 
 def return_absolute_path(possibly_relative_path: str, n_dirs_back: int = 3) -> str:
-    """Return an absolute path from a possibly relative path (reference utils/io.py:287)."""
+    """Return an absolute path from a possibly relative path (reference utils/io.py:287).
+
+    Relative paths resolve against the directory ``n_dirs_back`` levels above
+    the cwd — the reference's convention for hydra run dirs, which nest runs
+    ``outputs/YYYY-MM-DD/HH-MM-SS`` (one extra level under ``multirun``).
+    """
     if os.path.isabs(possibly_relative_path):
         abs_path = possibly_relative_path
     else:
-        cwd_split = os.getcwd().split(os.path.sep)
-        desired_path_list = cwd_split[:-n_dirs_back]
-        if desired_path_list and desired_path_list[-1] == "multirun":
-            desired_path_list = desired_path_list[:-1]
-        abs_path = os.path.join(os.path.sep, *desired_path_list, possibly_relative_path)
+        root_parts = os.getcwd().split(os.path.sep)[:-n_dirs_back]
+        if root_parts and root_parts[-1] == "multirun":
+            root_parts = root_parts[:-1]
+        abs_path = os.path.join(os.path.sep, *root_parts, possibly_relative_path)
     if not os.path.exists(abs_path):
         raise OSError(f"{abs_path} is not a valid path")
     return abs_path
 
 
 def return_absolute_data_paths(data_cfg, n_dirs_back: int = 3) -> tuple[str, str]:
-    """Return absolute (data_dir, video_dir) paths (reference utils/io.py:305)."""
+    """Return absolute (data_dir, video_dir) paths (reference utils/io.py:305).
+
+    A relative ``video_dir`` is taken to live inside ``data_dir``.
+    """
     data_dir = return_absolute_path(data_cfg.data_dir, n_dirs_back=n_dirs_back)
-    if os.path.isabs(data_cfg.video_dir):
-        video_dir = data_cfg.video_dir
-    else:
-        video_dir = os.path.join(data_dir, data_cfg.video_dir)
+    video_dir = data_cfg.video_dir
+    if not os.path.isabs(video_dir):
+        video_dir = os.path.join(data_dir, video_dir)
     if not os.path.exists(video_dir):
         raise OSError(f"{video_dir} is not a valid path")
     return data_dir, video_dir
@@ -253,6 +282,17 @@ def return_absolute_data_paths(data_cfg, n_dirs_back: int = 3) -> tuple[str, str
 # --------------------------------------------------------------------------------
 # video path discovery
 # --------------------------------------------------------------------------------
+
+
+def _view_in_filename(filename: str, view_name: str) -> bool:
+    """True when ``view_name`` appears in ``filename`` delimited by
+    non-alphanumeric characters (e.g. ``mouse_top_3.mp4`` matches ``top``;
+    ``mousetop3.mp4`` does not)."""
+    return bool(
+        re.search(
+            rf"(?<![0-9a-zA-Z]){re.escape(view_name)}(?![0-9a-zA-Z])", filename
+        )
+    )
 
 
 def get_videos_in_dir(
@@ -264,50 +304,48 @@ def get_videos_in_dir(
     views cover the same sessions (filenames ``<vid>_<view>.mp4``).
     """
     assert os.path.isdir(video_dir)
-    allowed_formats: tuple[str, ...] | str = (".mp4", ".avi", ".mov")
+    extensions: tuple[str, ...] | str = (".mp4", ".avi", ".mov")
     if return_mp4_only:
-        allowed_formats = ".mp4"
-    if view_names:
-        all_video_files = sorted(os.listdir(video_dir))
-        video_files = [
-            [
-                os.path.join(video_dir, f)
-                for f in all_video_files
-                if (
-                    f.endswith(allowed_formats)
-                    and re.search(rf"(?<![0-9a-zA-Z]){re.escape(view)}(?![0-9a-zA-Z])", f)
-                )
-            ]
-            for view in view_names
-        ]
-        vid_names = [
-            [vid_name.split(f"_{view_names[v]}")[0] for vid_name in video_files_]
-            for v, video_files_ in enumerate(video_files)
-        ]
-        for view, view_files in zip(view_names, video_files):
-            if len(view_files) == 0:
-                raise OSError(
-                    f"Did not find any video files for view '{view}' in {video_dir}. "
-                    "Video filenames must contain the view name delimited by "
-                    "non-alphanumeric characters, e.g. <vid_name>_<view_name>.mp4."
-                )
-        for vids_view in vid_names:
-            if set(vids_view) != set(vid_names[0]):
-                raise RuntimeError(
-                    "Mismatched video names across views! Please check your videos are "
-                    "in the format <vid_name>_<view_name[0]>, <vid_name>_<view_name[1]>, "
-                    "etc., where the `view_name` variable is defined in the config file."
-                )
-        return video_files
+        extensions = ".mp4"
 
-    video_files_flat = [
-        os.path.join(video_dir, f)
-        for f in os.listdir(video_dir)
-        if f.endswith(allowed_formats)
+    if not view_names:
+        found = [
+            os.path.join(video_dir, f)
+            for f in os.listdir(video_dir)
+            if f.endswith(extensions)
+        ]
+        if not found:
+            raise OSError(f"Did not find any valid video files in {video_dir}")
+        return found
+
+    candidates = sorted(
+        f for f in os.listdir(video_dir) if f.endswith(extensions)
+    )
+    per_view = {
+        view: [f for f in candidates if _view_in_filename(f, view)]
+        for view in view_names
+    }
+    for view, matches in per_view.items():
+        if not matches:
+            raise OSError(
+                f"Did not find any video files for view '{view}' in {video_dir}. "
+                "Video filenames must contain the view name delimited by "
+                "non-alphanumeric characters, e.g. <vid_name>_<view_name>.mp4."
+            )
+    # every view must cover the same session set (<session>_<view>.mp4)
+    sessions = {
+        view: {f.split(f"_{view}")[0] for f in matches}
+        for view, matches in per_view.items()
+    }
+    if len(set(map(frozenset, sessions.values()))) > 1:
+        raise RuntimeError(
+            "Mismatched video names across views! Please check your videos are "
+            "in the format <vid_name>_<view_name[0]>, <vid_name>_<view_name[1]>, "
+            "etc., where the `view_name` variable is defined in the config file."
+        )
+    return [
+        [os.path.join(video_dir, f) for f in per_view[view]] for view in view_names
     ]
-    if len(video_files_flat) == 0:
-        raise OSError(f"Did not find any valid video files in {video_dir}")
-    return video_files_flat
 
 
 def check_video_paths(
@@ -325,10 +363,13 @@ def check_video_paths(
         raise ValueError(
             "`video_paths` must be a list of files, a single file, or a directory name"
         )
-    for filename in filenames:
-        fs = [filename] if isinstance(filename, (str, Path)) else filename
-        for f in fs:
-            assert str(f).endswith(".mp4"), "video files must be mp4 format!"
+    flat = (
+        f
+        for entry in filenames
+        for f in ([entry] if isinstance(entry, (str, Path)) else entry)
+    )
+    for f in flat:
+        assert str(f).endswith(".mp4"), "video files must be mp4 format!"
     return filenames
 
 
@@ -337,20 +378,17 @@ def collect_video_files_by_view(
 ) -> dict[str, Path]:
     """Match exactly one video file per view by filename (reference utils/io.py:467)."""
     assert len(video_files) == len(view_names), f"{len(video_files)} != {len(view_names)}"
-    video_files_by_view: dict[str, Path] = {}
+    matched: dict[str, Path] = {}
     for view_name in view_names:
-        for video_file in video_files:
-            if re.search(
-                rf"(?<![0-9a-zA-Z]){re.escape(view_name)}(?![0-9a-zA-Z])",
-                Path(video_file).stem,
-            ):
-                if view_name not in video_files_by_view:
-                    video_files_by_view[view_name] = Path(video_file)
-                else:
-                    raise ValueError(f"File matches multiple views: {video_file}")
-        if view_name not in video_files_by_view:
+        hits = [
+            Path(f) for f in video_files if _view_in_filename(Path(f).stem, view_name)
+        ]
+        if len(hits) > 1:
+            raise ValueError(f"File matches multiple views: {hits[1]}")
+        if not hits:
             raise ValueError(f"File not found for view: {view_name}")
-    return video_files_by_view
+        matched[view_name] = hits[0]
+    return matched
 
 
 def get_context_img_paths(center_img_path: Path) -> list[Path]:
@@ -361,56 +399,56 @@ def get_context_img_paths(center_img_path: Path) -> list[Path]:
     assert match is not None, (
         f"No frame index in filename, can't get context frames: {center_img_path.name}"
     )
-    center_index_string = match.group()
-    center_index = int(center_index_string)
+    digits = match.group()
+    center = int(digits)
 
-    context_img_paths = []
-    for index in range(center_index - 2, center_index + 3):
-        index = max(index, 0)
-        index_string = str(index).zfill(len(center_index_string))
-        stem = center_img_path.stem.replace(center_index_string, index_string)
-        path = center_img_path.with_name(stem + center_img_path.suffix)
-        context_img_paths.append(path)
-    return context_img_paths
+    paths = []
+    for index in (max(center + d, 0) for d in range(-2, 3)):
+        stem = center_img_path.stem.replace(digits, str(index).zfill(len(digits)))
+        paths.append(center_img_path.with_name(stem + center_img_path.suffix))
+    return paths
 
 
-def extract_session_name_from_video(video_filename: str, view_names: list[str]) -> str:
-    """Strip the view name from a video filename (reference utils/io.py:557)."""
-    name_without_ext = Path(video_filename).stem
-    for view_name in view_names:
-        if view_name in name_without_ext:
-            return name_without_ext.replace(f"_{view_name}", "")
-    return name_without_ext
+# --------------------------------------------------------------------------------
+# multi-view session grouping
+# --------------------------------------------------------------------------------
 
 
 def extract_view_name_from_video(
     video_filename: str, view_names: list[str]
 ) -> str | None:
-    """Return the view name contained in a video filename, or None."""
-    for view_name in view_names:
-        if view_name in Path(video_filename).stem:
-            return view_name
-    return None
+    """Return the first view name contained in a video filename, or None."""
+    stem = Path(video_filename).stem
+    return next((v for v in view_names if v in stem), None)
+
+
+def extract_session_name_from_video(video_filename: str, view_names: list[str]) -> str:
+    """Strip the view name from a video filename (reference utils/io.py:557)."""
+    stem = Path(video_filename).stem
+    view = extract_view_name_from_video(video_filename, view_names)
+    return stem.replace(f"_{view}", "") if view else stem
 
 
 def split_video_files_by_view(
     video_paths: list[Path], view_names: list[str]
 ) -> list[list[Path]]:
-    """Group videos into per-session lists ordered by view (reference utils/io.py:594)."""
-    session_view_video_map: dict[str, dict[str, Path]] = collections.defaultdict(dict)
-    for video_path in video_paths:
-        video_path = Path(video_path)
-        view = extract_view_name_from_video(video_path.name, view_names)
-        if view is not None:
-            session = extract_session_name_from_video(video_path.name, view_names)
-            session_view_video_map[session][view] = video_path
+    """Group videos into per-session lists ordered by view (reference utils/io.py:594).
 
-    video_views_per_session = []
-    for view_to_video_path in session_view_video_map.values():
-        if any(v not in view_to_video_path for v in view_names):
+    Sessions missing any view are silently skipped.
+    """
+    sessions: dict[str, dict[str, Path]] = {}
+    for video_path in map(Path, video_paths):
+        view = extract_view_name_from_video(video_path.name, view_names)
+        if view is None:
             continue
-        video_views_per_session.append([view_to_video_path[v] for v in view_names])
-    return video_views_per_session
+        session = extract_session_name_from_video(video_path.name, view_names)
+        sessions.setdefault(session, {})[view] = video_path
+
+    return [
+        [views[v] for v in view_names]
+        for views in sessions.values()
+        if all(v in views for v in view_names)
+    ]
 
 
 def find_video_files_for_views(video_dir: str, view_names: list[str]) -> list[list[Path]]:
@@ -433,9 +471,7 @@ def find_video_files_for_views(video_dir: str, view_names: list[str]) -> list[li
 def make_dlc_pandas_index(cfg, keypoint_names: list[str]) -> pd.MultiIndex:
     """Build the DLC 3-level (scorer, bodyparts, coords) column MultiIndex
     (reference utils/predictions.py:538)."""
-    xyl_labels = ["x", "y", "likelihood"]
-    pdindex = pd.MultiIndex.from_product(
-        [[f"{cfg.model.model_type}_tracker"], keypoint_names, xyl_labels],
+    return pd.MultiIndex.from_product(
+        [[f"{cfg.model.model_type}_tracker"], keypoint_names, ["x", "y", "likelihood"]],
         names=["scorer", "bodyparts", "coords"],
     )
-    return pdindex

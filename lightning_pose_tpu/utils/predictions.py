@@ -88,44 +88,49 @@ class PredictionHandler:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Stack per-batch (keypoints, confidences) and trim video padding
         (reference predictions.py:95-142)."""
-        stacked_preds = np.vstack([np.asarray(p[0]) for p in preds])
-        stacked_confs = np.vstack([np.asarray(p[1]) for p in preds])
-        if self.video_file is not None:
-            num_rows_to_discard = stacked_preds.shape[0] - self.frame_count
-            if num_rows_to_discard > 0:
-                stacked_preds = stacked_preds[:-num_rows_to_discard]
-                stacked_confs = stacked_confs[:-num_rows_to_discard]
-            if self.do_context:
-                stacked_preds = self.fix_context_preds_confs(stacked_preds)
-                if self.cfg.model.model_type == "heatmap_mhcrnn":
-                    stacked_confs = self.fix_context_preds_confs(
-                        stacked_confs, zero_pad_confidence=False
-                    )
-                else:
-                    stacked_confs = self.fix_context_preds_confs(
-                        stacked_confs, zero_pad_confidence=True
-                    )
-        return stacked_preds, stacked_confs
+        keypoints = np.vstack([np.asarray(kp) for kp, _ in preds])
+        confs = np.vstack([np.asarray(c) for _, c in preds])
+        if self.video_file is None:
+            return keypoints, confs
+
+        # the last video window is FILL-padded past the end of the file
+        keypoints = keypoints[: self.frame_count]
+        confs = confs[: self.frame_count]
+        if self.do_context:
+            keypoints = self.fix_context_preds_confs(keypoints)
+            # mhcrnn emits real confidences at the edges; plain context
+            # models get theirs zeroed (reference predictions.py:130-138)
+            confs = self.fix_context_preds_confs(
+                confs,
+                zero_pad_confidence=self.cfg.model.model_type != "heatmap_mhcrnn",
+            )
+        return keypoints, confs
 
     def fix_context_preds_confs(
-        self, stacked_preds: np.ndarray, zero_pad_confidence: bool = False
+        self, rows: np.ndarray, zero_pad_confidence: bool = False
     ) -> np.ndarray:
         """Shift context-model outputs by 2 frames and patch the edges
-        (reference predictions.py:144-175)."""
-        preds_1 = np.tile(stacked_preds[0], (2, 1))
-        preds_2 = stacked_preds[0:-2]
-        preds_combined = np.vstack([preds_1, preds_2])
-        if preds_combined.shape[0] == self.frame_count:
-            preds_combined[-2:, :] = preds_combined[-3, :]
+        (reference predictions.py:144-175).
+
+        Context windows associate output 0 with frame 2, so output row i
+        belongs to frame i+2: gather each frame's row from two back, clamping
+        the first two frames to row 0.
+        """
+        n_frames = self.frame_count
+        shifted = rows[np.maximum(np.arange(len(rows)) - 2, 0)]
+        if len(shifted) == n_frames:
+            # no outputs exist for the last two frames; reuse the last valid row
+            shifted[-2:] = shifted[-3]
         else:
-            n_pad = self.frame_count - preds_combined.shape[0]
-            preds_combined = np.vstack(
-                [preds_combined, np.tile(preds_combined[0], (n_pad, 1))]
+            # too few outputs for the video: the reference pads the tail by
+            # repeating row 0 (its quirk, predictions.py:164-169 — preserved)
+            shifted = np.concatenate(
+                [shifted, np.broadcast_to(shifted[0], (n_frames - len(shifted), rows.shape[1]))]
             )
         if zero_pad_confidence:
-            preds_combined[:2, :] = 0.0
-            preds_combined[-2:, :] = 0.0
-        return preds_combined
+            shifted[:2] = 0.0
+            shifted[-2:] = 0.0
+        return shifted
 
     # -- dataframe assembly ---------------------------------------------------------
 
@@ -133,17 +138,19 @@ class PredictionHandler:
     def make_pred_arr_undo_resize(
         keypoints_np: np.ndarray, confidence_np: np.ndarray
     ) -> np.ndarray:
-        """Interleave (x, y, likelihood) columns (reference
-        predictions.py:177-204)."""
-        assert keypoints_np.shape[0] == confidence_np.shape[0]
-        assert keypoints_np.shape[1] == confidence_np.shape[1] * 2
-        num_joints = confidence_np.shape[-1]
-        predictions = np.zeros((keypoints_np.shape[0], num_joints * 3))
-        predictions[:, 0] = np.arange(keypoints_np.shape[0])
-        predictions[:, 0::3] = keypoints_np[:, 0::2]
-        predictions[:, 1::3] = keypoints_np[:, 1::2]
-        predictions[:, 2::3] = confidence_np
-        return predictions
+        """Interleave per-keypoint (x, y, likelihood) column triplets
+        (reference predictions.py:177-204)."""
+        n_frames, n_keypoints = confidence_np.shape
+        assert keypoints_np.shape == (n_frames, n_keypoints * 2)
+        triplets = np.concatenate(
+            [
+                keypoints_np.reshape(n_frames, n_keypoints, 2),
+                confidence_np[:, :, None],
+            ],
+            axis=-1,
+        )
+        # float64 to match the reference's output dtype (CSV formatting)
+        return triplets.reshape(n_frames, n_keypoints * 3).astype(np.float64)
 
     def make_dlc_pandas_index(self, keypoint_names: list | None = None) -> pd.MultiIndex:
         return make_dlc_pandas_index(
@@ -153,49 +160,61 @@ class PredictionHandler:
     def add_split_indices_to_df(self, df: pd.DataFrame) -> pd.DataFrame:
         """Add the train/validation/test ``set`` column
         (reference predictions.py:220-236)."""
-        df["set"] = np.array(["unused"] * df.shape[0])
-        dataset_split_indices = {
-            "train": self.data_module.train_dataset.indices,
-            "validation": self.data_module.val_dataset.indices,
-            "test": self.data_module.test_dataset.indices,
-        }
-        for key, val in dataset_split_indices.items():
-            df.loc[val, ("set", "", "")] = np.repeat(key, len(val))
+        membership = np.full(len(df), "unused", dtype=object)
+        for split_name in ("train", "validation", "test"):
+            subset = getattr(
+                self.data_module, f"{split_name.replace('validation', 'val')}_dataset"
+            )
+            membership[np.asarray(subset.indices, dtype=int)] = split_name
+        df["set"] = membership
+        return df
+
+    def _assemble_df(
+        self, keypoints: np.ndarray, confs: np.ndarray, image_names=None
+    ) -> pd.DataFrame:
+        """One view's dataframe: interleaved columns, DLC index, and (for
+        labeled datasets) the split column + image-name index."""
+        df = pd.DataFrame(
+            self.make_pred_arr_undo_resize(keypoints, confs),
+            columns=self.make_dlc_pandas_index(),
+        )
+        if self.video_file is None:
+            df = self.add_split_indices_to_df(df)
+            df.index = image_names
         return df
 
     def __call__(
         self, preds: list[tuple[np.ndarray, np.ndarray]], is_multiview_video: bool = False
     ) -> pd.DataFrame | dict[str, pd.DataFrame]:
         """Build the prediction dataframe(s) (reference predictions.py:262-327)."""
-        stacked_preds, stacked_confs = self.unpack_preds(preds)
+        keypoints, confs = self.unpack_preds(preds)
         view_names = self.cfg.data.get("view_names", None)
-        if (
+        multiview = (
             view_names
             and len(view_names) > 1
             and (self.video_file is None or is_multiview_video)
-        ):
-            num_keypoints = len(self.keypoint_names)
-            view_to_df = {}
-            for view_idx, view_name in enumerate(view_names):
-                idx_beg = view_idx * num_keypoints
-                idx_end = idx_beg + num_keypoints
-                pred_arr = self.make_pred_arr_undo_resize(
-                    stacked_preds[:, idx_beg * 2:idx_end * 2],
-                    stacked_confs[:, idx_beg:idx_end],
-                )
-                pdindex = self.make_dlc_pandas_index(self.keypoint_names)
-                df = pd.DataFrame(pred_arr, columns=pdindex)
-                view_to_df[view_name] = df
-                if self.video_file is None:
-                    df = self.add_split_indices_to_df(df)
-                    view_dataset = self.data_module.dataset
-                    df.index = view_dataset.image_names_by_view[view_name]
-            return view_to_df
+        )
+        if not multiview:
+            names = (
+                self.data_module.dataset.image_names
+                if self.video_file is None
+                else None
+            )
+            return self._assemble_df(keypoints, confs, names)
 
-        pred_arr = self.make_pred_arr_undo_resize(stacked_preds, stacked_confs)
-        pdindex = self.make_dlc_pandas_index()
-        df = pd.DataFrame(pred_arr, columns=pdindex)
-        if self.video_file is None:
-            df = self.add_split_indices_to_df(df)
-            df.index = self.data_module.dataset.image_names
-        return df
+        # fused multiview outputs carry views side by side: K keypoints
+        # (2K coordinate columns) per view, in view_names order
+        n_kp = len(self.keypoint_names)
+        view_to_df = {}
+        for i, view_name in enumerate(view_names):
+            names = (
+                self.data_module.dataset.image_names_by_view[view_name]
+                if self.video_file is None
+                else None
+            )
+            view_to_df[view_name] = self._assemble_df(
+                keypoints[:, 2 * n_kp * i : 2 * n_kp * (i + 1)],
+                confs[:, n_kp * i : n_kp * (i + 1)],
+                names,
+            )
+        return view_to_df

@@ -214,7 +214,10 @@ def _train_watched(model_type: str, out_root: Path, model_dir: Path) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     model_type = args[0] if args else "heatmap"
-    out_root = Path(args[1] if len(args) > 1 else "outputs/dark_eval")
+    # resolve before building config overrides: return_absolute_data_paths
+    # resolves relative dirs against cwd[:-3] (the reference's hydra-run-dir
+    # convention), which would send "outputs/..." to "/outputs/..."
+    out_root = Path(args[1] if len(args) > 1 else "outputs/dark_eval").resolve()
     model_dir = out_root / model_type
 
     if model_type == "heatmap_multiview":

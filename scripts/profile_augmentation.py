@@ -59,6 +59,10 @@ def time_engine(label, keep=None, override=None):
 
 ablations = [
     ("dlc full", None),
+    ("null engine (no ops kept)", ()),
+    ("warp only (affine)", ("affine",)),
+    ("warp+croppad", ("affine", "croppad")),
+    ("elastic only", ("elastic",)),
     ("geometric only (warp+elastic)", ("affine", "croppad", "elastic")),
     ("+ motion blur", ("affine", "croppad", "elastic", "motion_blur")),
     ("+ coarse noise", ("affine", "croppad", "elastic", "motion_blur",
