@@ -96,24 +96,32 @@ def warp_bilinear(images: jax.Array, coords: jax.Array) -> jax.Array:
     return grid_sample_bilinear(images, coords)
 
 
-def _separable_gaussian_blur(field: jax.Array, sigma: float) -> jax.Array:
-    """Blur ``(B, H, W, C)`` with a fixed-sigma separable Gaussian."""
+def _blur_band_matrix(n: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix applying a zero-padded Gaussian along one axis."""
     radius = int(3 * sigma)
     xs = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-(xs**2) / (2 * sigma**2))
     k /= k.sum()
-    k = jnp.asarray(k)
-    c = field.shape[-1]
-    kern_h = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, c))
-    kern_w = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, c))
-    out = jax.lax.conv_general_dilated(
-        field, kern_h, (1, 1), [(radius, radius), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-    )
-    out = jax.lax.conv_general_dilated(
-        out, kern_w, (1, 1), [(0, 0), (radius, radius)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-    )
+    d = np.subtract.outer(np.arange(n), np.arange(n))  # d[i, j] = i - j
+    band = np.where(np.abs(d) <= radius, k[np.clip(d + radius, 0, 2 * radius)], 0.0)
+    return band.astype(np.float32)
+
+
+def _separable_gaussian_blur(field: jax.Array, sigma: float) -> jax.Array:
+    """Blur ``(B, H, W, C)`` with a fixed-sigma separable Gaussian.
+
+    Expressed as two banded-matrix matmuls instead of depthwise convs: the
+    31-tap separable conv runs on the TPU VPU and measured ~1.6 ms per
+    bs16/256px elastic field, while the equivalent (H, H)/(W, W) band
+    matmuls ride the MXU for ~2 GFLOP. HIGHEST precision keeps f32
+    conv-equivalent numerics (zero padding, same taps).
+    """
+    b, h, w, c = field.shape
+    bh = jnp.asarray(_blur_band_matrix(h, sigma))
+    bw = jnp.asarray(_blur_band_matrix(w, sigma))
+    hp = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("ij,bjwc->biwc", bh, field, precision=hp)
+    out = jnp.einsum("xu,biuc->bixc", bw, out, precision=hp)
     return out
 
 
@@ -428,10 +436,23 @@ def _apply_per_group(
             fi = (idx_g[:, None] * t + jnp.arange(t)[None, :]).reshape(-1)
         else:
             fi = idx_g
-        sub = imgs[fi]
+        # m is small and static: gather/scatter the fired rows with
+        # dynamic-slice / dynamic-update-slice chains instead of gather /
+        # scatter HLOs — TPU executes the former natively while the latter
+        # lower to per-element loops (measured ~1.5 ms per sparse op at
+        # bs16/256px). Selection is exact, so sparse == dense bitwise.
+        n = int(fi.shape[0])
+        sub = jnp.stack(
+            [jax.lax.dynamic_index_in_dim(imgs, fi[k], 0, keepdims=False)
+             for k in range(n)]
+        )
         res = fn(sub, *(_rep(e[idx_g]) for e in extras))
-        keep = _rep(apply_g[idx_g])[:, None, None, None]
-        return imgs.at[fi].set(jnp.where(keep, res, sub))
+        keep = _rep(apply_g[idx_g])
+        out = imgs
+        for k in range(n):
+            row = jnp.where(keep[k], res[k], sub[k])
+            out = jax.lax.dynamic_update_index_in_dim(out, row, fi[k], 0)
+        return out
 
     return jax.lax.cond(count <= m, sparse, dense, images)
 
@@ -920,24 +941,25 @@ class AugmentationEngine:
             )
 
         if spec["emboss"] is not None:
+            # emboss fires with p~0.1 like histeq/CLAHE — same sparse
+            # gathered-subset application (the dense depthwise conv over
+            # the full batch measured ~3 ms/apply at bs16/256px)
             em = spec["emboss"]
             apply_em = jax.random.uniform(keys[23], (b,)) < em["p"]
-            em_alpha = R(
-                jnp.where(
-                    apply_em,
-                    jax.random.uniform(
-                        keys[25], (b,), minval=em["alpha"][0], maxval=em["alpha"][1]
-                    ),
-                    0.0,
-                )
-            )
-            em_strength = R(
+            em_alpha = jnp.where(
+                apply_em,
                 jax.random.uniform(
-                    keys[26], (b,), minval=em["strength"][0],
-                    maxval=em["strength"][1],
-                )
+                    keys[25], (b,), minval=em["alpha"][0], maxval=em["alpha"][1]
+                ),
+                0.0,
             )
-            out = _emboss(out, em_alpha, em_strength)
+            em_strength = jax.random.uniform(
+                keys[26], (b,), minval=em["strength"][0],
+                maxval=em["strength"][1],
+            )
+            out = _apply_per_group(
+                out, apply_em, t, _emboss, extras=(em_alpha, em_strength)
+            )
 
         if t > 1:
             out = out.reshape(bsz, t, h, w, -1)

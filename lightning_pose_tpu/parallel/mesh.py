@@ -36,6 +36,7 @@ __all__ = [
     "batch_sharding",
     "shard_batch",
     "shard_local_batch",
+    "shard_stacked_local_batch",
     "replicate",
 ]
 
@@ -162,6 +163,28 @@ def shard_local_batch(mesh: Mesh, batch: Any) -> Any:
     if jax.process_count() == 1:
         return shard_batch(mesh, batch)
     sharding = batch_sharding(mesh)
+    scalar_sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return _put_global(x, scalar_sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_stacked_local_batch(mesh: Mesh, batch: Any) -> Any:
+    """Assemble per-process (steps, local_batch, ...) stacks into global
+    (steps, global_batch, ...) arrays with axis 1 sharded — the scanned-epoch
+    layout for the unlabeled video stream under multi-host DP: each host
+    stacks the windows its own decode threads produced (the reference's
+    per-rank DALI pipelines, dali.py:580-592), and the global batch is their
+    concatenation along axis 1. Single-process: identical to
+    shard_stacked_batch."""
+    if jax.process_count() == 1:
+        return shard_stacked_batch(mesh, batch)
+    sharding = NamedSharding(mesh, P(None, "data"))
     scalar_sharding = NamedSharding(mesh, P())
 
     def put(x):

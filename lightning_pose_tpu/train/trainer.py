@@ -728,8 +728,9 @@ def resolve_scan_epochs(scan_flag, platform: str, has_device_cache: bool,
     program's per-epoch-length recompiles dominate. Scanning requires the
     labeled device cache. Semi-supervised training scans too — the epoch's
     unlabeled video windows prefetch on the host and ship as one stacked
-    batch — except under multi-host DP, where the per-process unlabeled
-    shards still assemble per step.
+    batch; under multi-host DP each host stacks its own decode shard and
+    the global stack assembles along the batch axis
+    (``shard_stacked_local_batch``).
     """
     if isinstance(scan_flag, str):
         scan_flag = (
@@ -737,11 +738,8 @@ def resolve_scan_epochs(scan_flag, platform: str, has_device_cache: bool,
             if scan_flag.lower() == "auto"
             else scan_flag.lower() == "true"
         )
-    return (
-        bool(scan_flag)
-        and has_device_cache
-        and not (has_unlabeled and multihost)
-    )
+    del has_unlabeled, multihost  # no longer gate scanning
+    return bool(scan_flag) and has_device_cache
 
 
 def _write_status(path: Path, status: str, **extra) -> None:
@@ -1070,17 +1068,22 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
             pairs = list(
                 data_module.train_index_batches(epoch, steps=steps_this_epoch)
             )
-            from lightning_pose_tpu.parallel.mesh import shard_stacked_batch
+            from lightning_pose_tpu.parallel.mesh import (
+                shard_stacked_batch,
+                shard_stacked_local_batch,
+            )
 
             unlabeled_all = {}
             if hasattr(data_module, "unlabeled_loader"):
                 # prefetch the epoch's unlabeled windows and ship them as
                 # one (steps, ...) stack — the decode threads fill the
-                # next epoch's windows while this epoch's program runs
+                # next epoch's windows while this epoch's program runs.
+                # Multi-host: each host stacks its own decode shard; the
+                # global stack assembles along the batch axis.
                 windows = [
                     next(data_module.unlabeled_loader) for _ in range(len(pairs))
                 ]
-                unlabeled_all = shard_stacked_batch(
+                unlabeled_all = shard_stacked_local_batch(
                     mesh,
                     {
                         k: np.stack([np.asarray(w[k]) for w in windows])

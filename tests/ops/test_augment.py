@@ -490,3 +490,22 @@ def test_apply_per_group_sparse_equals_dense(t, n_fired):
         rep(apply_g)[:, None, None, None], fn(images, rep(clip)), images
     )
     np.testing.assert_array_equal(np.asarray(sparse), np.asarray(dense))
+
+    # emboss (two per-image extras: alpha + strength). Not bit-exact like
+    # the LUT ops: XLA fuses the depthwise conv differently at batch m vs
+    # b, reassociating the 3x3 reduction (~3e-5 noise on 0-255 images).
+    from lightning_pose_tpu.ops.augment import _emboss
+
+    alpha = jnp.asarray(rng.uniform(0.0, 0.5, b).astype(np.float32))
+    strength = jnp.asarray(rng.uniform(0.5, 1.5, b).astype(np.float32))
+    sparse = _apply_per_group(
+        images, apply_g, t, _emboss, extras=(alpha, strength)
+    )
+    dense = jnp.where(
+        rep(apply_g)[:, None, None, None],
+        _emboss(images, rep(alpha), rep(strength)),
+        images,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse), np.asarray(dense), rtol=0, atol=1e-4
+    )

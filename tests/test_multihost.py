@@ -20,6 +20,7 @@ _WORKER = textwrap.dedent(
     import os, sys
 
     data_dir, model_dir, coordinator, pid = sys.argv[1:5]
+    scan_epochs = sys.argv[5] if len(sys.argv) > 5 else "auto"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     os.environ["LP_TPU_COORDINATOR"] = coordinator
@@ -59,6 +60,7 @@ _WORKER = textwrap.dedent(
     cfg.model.model_name = "multihost-test"
     cfg.model.losses_to_use = ["temporal"]
     cfg.dali.base.train.sequence_length = 4
+    cfg.training.scan_epochs = scan_epochs
     cfg.eval.predict_vids_after_training = False
 
     train(cfg, model_dir=model_dir, skip_evaluation=True)
@@ -117,3 +119,175 @@ def test_two_process_distributed_training(toy_data_dir, tmp_path):
     # exactly one version dir (non-main did not create its own)
     versions = list((model_dir / "tb_logs" / "multihost-test").glob("version_*"))
     assert len(versions) == 1
+
+
+def _run_two_process(worker, toy_data_dir, model_dir, scan_epochs):
+    coordinator = f"localhost:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    import lightning_pose_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(lightning_pose_tpu.__file__))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), toy_data_dir, str(model_dir),
+             coordinator, str(pid), scan_epochs],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+
+@pytest.mark.slow
+@pytest.mark.multichip
+def test_two_process_scanned_semisup_parity(toy_data_dir, tmp_path):
+    """Multi-host scanned semi-supervised epochs follow the per-step loop's
+    trajectory: each host stacks its own unlabeled decode shard
+    (parallel/mesh.py shard_stacked_local_batch) and the final checkpoint
+    params must match the per-step run up to float-reassociation noise.
+
+    Bit-exactness is impossible here: the scan body and the standalone
+    jitted step compile separately and XLA reassociates float reductions
+    differently (the single-host parity test pins atol=2e-5 after ONE
+    epoch, tests/test_train.py:620); over a full train Adam's tiny-scale
+    normalizers amplify that to ~1e-3 absolute (measured 1.4e-3 max).
+    A wrong-data bug produces diffs at weight scale (>=1e-2), so atol=2e-3
+    still has teeth; bit-exact coverage of the shard assembly itself lives
+    in test_two_process_stacked_shard_assembly."""
+    import numpy as np
+
+    from lightning_pose_tpu.train.checkpoints import load_checkpoint
+    from lightning_pose_tpu.utils.io import ckpt_path_from_base_path
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+
+    ckpts = {}
+    for mode in ("false", "true"):
+        model_dir = tmp_path / f"model_scan_{mode}"
+        _run_two_process(worker, toy_data_dir, model_dir, mode)
+        path = ckpt_path_from_base_path(str(model_dir), "multihost-test")
+        assert path is not None
+        ckpts[mode] = load_checkpoint(path)
+
+    flat_a = jax_flatten(ckpts["false"]["params"])
+    flat_b = jax_flatten(ckpts["true"]["params"])
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_allclose(
+            flat_a[k], flat_b[k], rtol=0, atol=2e-3, err_msg=k
+        )
+
+
+_SHARD_WORKER = textwrap.dedent(
+    """
+    import os, sys
+
+    import numpy as np
+
+    coordinator, pid = sys.argv[1:3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    os.environ["LP_TPU_COORDINATOR"] = coordinator
+    os.environ["LP_TPU_NUM_PROCESSES"] = "2"
+    os.environ["LP_TPU_PROCESS_ID"] = pid
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from lightning_pose_tpu.parallel.mesh import (
+        initialize_distributed,
+        make_mesh,
+        shard_local_batch,
+        shard_stacked_local_batch,
+    )
+
+    initialize_distributed()
+    assert jax.process_count() == 2
+    mesh = make_mesh()
+    pid = int(pid)
+
+    # each host holds distinct local windows: value encodes (pid, step, row)
+    steps, local_bs = 3, 2
+    local = np.asarray(
+        [
+            [[100 * pid + 10 * s + r] for r in range(local_bs)]
+            for s in range(steps)
+        ],
+        dtype=np.float32,
+    )  # (steps, local_bs, 1)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # replicate the global array so every host can read its full value
+    gather = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+    stacked = shard_stacked_local_batch(mesh, {"x": local})["x"]
+    stacked_global = np.asarray(gather(stacked))
+
+    # per-step assembly of the same local windows
+    per_step = [
+        np.asarray(gather(shard_local_batch(mesh, {"x": local[s]})["x"]))
+        for s in range(steps)
+    ]
+
+    for s in range(steps):
+        np.testing.assert_array_equal(stacked_global[s], per_step[s])
+    print(f"worker {pid}: shard assembly parity ok")
+    """
+)
+
+
+@pytest.mark.slow
+@pytest.mark.multichip
+def test_two_process_stacked_shard_assembly(tmp_path):
+    """shard_stacked_local_batch assembles per-host (steps, local, ...)
+    stacks into exactly the global batches the per-step shard_local_batch
+    path produces — bit-exact (this is the multi-host-specific data-path
+    risk the trajectory test can only bound with a tolerance)."""
+    worker = tmp_path / "shard_worker.py"
+    worker.write_text(_SHARD_WORKER)
+    coordinator = f"localhost:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    import lightning_pose_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(lightning_pose_tpu.__file__))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"worker {pid}: shard assembly parity ok" in out
+
+
+def jax_flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(jax_flatten(v, f"{prefix}/{k}"))
+    else:
+        out[prefix] = tree
+    return out

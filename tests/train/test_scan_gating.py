@@ -21,13 +21,14 @@ def test_scan_requires_device_cache():
     assert not resolve_scan_epochs("true", "tpu", False, False)
 
 
-def test_semi_supervised_scans_single_host_only():
+def test_semi_supervised_scans_everywhere():
     """Semi-supervised epochs scan too (the epoch's unlabeled windows
-    prefetch on the host and ship stacked) — except under multi-host DP,
-    where per-process unlabeled shards assemble per step."""
+    prefetch on the host and ship stacked); under multi-host DP each host
+    stacks its own decode shard (shard_stacked_local_batch) so the gate is
+    gone since round 4 (2-process trajectory parity:
+    tests/test_multihost.py::test_two_process_scanned_semisup_parity)."""
     assert resolve_scan_epochs("true", "tpu", True, True)
     assert resolve_scan_epochs("auto", "tpu", True, True)
-    assert not resolve_scan_epochs("true", "tpu", True, True, multihost=True)
-    assert not resolve_scan_epochs("auto", "tpu", True, True, multihost=True)
-    # supervised multihost still scans
+    assert resolve_scan_epochs("true", "tpu", True, True, multihost=True)
+    assert resolve_scan_epochs("auto", "tpu", True, True, multihost=True)
     assert resolve_scan_epochs("auto", "tpu", True, False, multihost=True)

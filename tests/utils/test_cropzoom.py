@@ -242,6 +242,58 @@ def test_crop_labeled_frames_and_remap(tmp_path):
     )
 
 
+def test_crop_labeled_frames_worker_pool_parity(tmp_path):
+    """N-worker crop output is bit-identical to the serial path
+    (reference cropzoom.py:178-248 uses a multiprocessing pool)."""
+    import cv2
+
+    data_dir = tmp_path / "data"
+    (data_dir / "labeled-data" / "sess").mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    rel_paths = [f"labeled-data/sess/img{i:03d}.png" for i in range(12)]
+    for rel in rel_paths:
+        cv2.imwrite(
+            str(data_dir / rel),
+            rng.integers(0, 255, size=(40, 56, 3), dtype=np.uint8),
+        )
+    cols = pd.MultiIndex.from_tuples(
+        [("s", "nose", "x"), ("s", "nose", "y")],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    labels = pd.DataFrame(
+        rng.uniform(5, 35, size=(12, 2)), index=pd.Index(rel_paths), columns=cols
+    )
+    csv_file = data_dir / "labels.csv"
+    labels.to_csv(csv_file)
+    bbox = pd.DataFrame(
+        {
+            "x": rng.integers(-4, 20, 12),
+            "y": rng.integers(-4, 16, 12),
+            "h": [18] * 12,
+            "w": [22] * 12,
+        },
+        index=pd.Index(rel_paths),
+    )
+    bbox_file = tmp_path / "bbox.csv"
+    bbox.to_csv(bbox_file)
+
+    outs = {}
+    for label, workers in (("serial", 1), ("pool", 4)):
+        out_data = tmp_path / f"cropped_{label}"
+        out_csv = tmp_path / f"labels_{label}.csv"
+        cz.crop_labeled_frames(
+            data_dir, csv_file, bbox_file, out_data, out_csv, num_workers=workers
+        )
+        outs[label] = (out_data, out_csv)
+
+    for rel in rel_paths:
+        a = cv2.imread(str(outs["serial"][0] / rel))
+        b = cv2.imread(str(outs["pool"][0] / rel))
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a, b)
+    assert outs["serial"][1].read_text() == outs["pool"][1].read_text()
+
+
 def test_generate_cropped_csv_roundtrip(tmp_path):
     rel_paths = [f"labeled-data/s/img{i}.png" for i in range(4)]
     cols = pd.MultiIndex.from_tuples(
