@@ -77,13 +77,16 @@ def grid_sample_bilinear(images: jax.Array, coords: jax.Array) -> jax.Array:
     )
 
 
-def warp_bilinear(images: jax.Array, coords: jax.Array) -> jax.Array:
+def warp_bilinear(images: jax.Array, coords: jax.Array,
+                  row_span_bound: float | None = None) -> jax.Array:
     """``grid_sample_bilinear`` with the TPU fast path.
 
     On TPU with %128-aligned dims the 4-tap gather (per-element on TPU,
     ~39 ms at bs16/256px — the augmentation bottleneck) is replaced by the
     one-hot-matmul Pallas kernel (ops/pallas_warp.py); identical zero-pad
-    bilinear semantics up to bf16 weight rounding.
+    bilinear semantics up to bf16 weight rounding. ``row_span_bound`` (a
+    static bound on the sampled-row span within one kernel tile, see
+    ``_warp_row_span_bound``) enables the kernel's windowed contraction.
     """
     if jax.default_backend() == "tpu":
         from lightning_pose_tpu.ops.pallas_warp import (
@@ -92,8 +95,46 @@ def warp_bilinear(images: jax.Array, coords: jax.Array) -> jax.Array:
         )
 
         if pallas_warp_supported(images.shape, coords.shape):
-            return warp_bilinear_pallas(images, coords)
+            return warp_bilinear_pallas(
+                images, coords, row_span_bound=row_span_bound
+            )
     return grid_sample_bilinear(images, coords)
+
+
+def _warp_row_span_bound(spec: dict, hflip: bool) -> float | None:
+    """Static bound on ``max(py) - min(py)`` over one (8, 128) warp-kernel
+    output tile, from the pipeline's geometric magnitudes.
+
+    The sampling coords are ``inverse_affine @ grid + elastic``. The
+    inverse's linear part is Rot(-phi) @ diag(+-1/sx, 1/sy) (hflip/croppad
+    scales commute through as column scalings), so
+    ``|dpy/dx| <= max|sin phi| * s`` and ``|dpy/dy| <= max|cos phi| * s``
+    with ``s = 1 + 2*croppad_pct`` the largest inverse scale, plus
+    ``2*alpha_hi`` from the elastic displacement. None when the pipeline
+    has no geometric ops at all (identity warp; the windowed kernel
+    degenerates anyway, but None keeps the no-op case obvious).
+    """
+    has_geo = any(
+        spec[k] is not None for k in ("rot90", "affine", "croppad", "elastic")
+    ) or hflip or spec["fliplr"] is not None
+    if not has_geo:
+        return None
+    br, bw = 8.0, 128.0  # pallas_warp tile shape
+    s = 1.0
+    if spec["croppad"] is not None:
+        s += 2.0 * float(spec["croppad"]["percent"])
+    max_sin, max_cos = 0.0, 1.0
+    if spec["affine"] is not None:
+        theta = min(abs(float(spec["affine"]["rotate"])), 90.0) * np.pi / 180.0
+        max_sin = float(np.sin(theta))
+    if spec["rot90"] is not None and any(
+        int(k) % 2 == 1 for k in spec["rot90"]["k"]
+    ):
+        max_sin = 1.0  # odd-k 90-degree rotations transpose the axes
+    elastic = 0.0
+    if spec["elastic"] is not None:
+        elastic = 2.0 * float(spec["elastic"]["alpha"][1])
+    return s * (max_sin * (bw - 1.0) + max_cos * (br - 1.0)) + elastic
 
 
 def _blur_band_matrix(n: int, sigma: float) -> np.ndarray:
@@ -461,28 +502,29 @@ def _emboss(images: jax.Array, alpha: jax.Array, strength: jax.Array) -> jax.Arr
     """imgaug-style emboss: overlay embossed image with per-image alpha.
 
     imgaug's effect kernel is ``[[-1-s, -s, 0], [-s, 1, s], [0, s, 1+s]]``
-    (reference augmentations.py Emboss). Kernels vary per image, so the
-    filter decomposes into two fixed convolutions:
-    ``effect = k_const + s * k_s`` with ``k_const = [[-1,0,0],[0,1,0],
-    [0,0,1]]`` and ``k_s = [[-1,-1,0],[-1,0,1],[0,1,1]]``.
+    (reference augmentations.py Emboss; cv2.filter2D = correlation with
+    BORDER_CONSTANT here). With per-image ``s`` the 3x3 applies as seven
+    shifted multiply-adds on a zero-padded copy — a depthwise
+    ``feature_group_count=3`` conv pads the 3-channel lane dim ~42x on TPU
+    and measured ~3 ms/apply at bs16/256px; the shifted form is a fused
+    elementwise pass.
     """
+    h, w = images.shape[1], images.shape[2]
     s = strength[:, None, None, None]
-    c = images.shape[-1]
-    k_const = jnp.asarray(
-        [[-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=jnp.float32
-    )
-    k_s = jnp.asarray(
-        [[-1.0, -1.0, 0.0], [-1.0, 0.0, 1.0], [0.0, 1.0, 1.0]], dtype=jnp.float32
-    )
+    padded = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    def conv(img, kern):
-        kern = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))
-        return jax.lax.conv_general_dilated(
-            img, kern, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        )
+    def sh(ky: int, kx: int) -> jax.Array:
+        return padded[:, ky:ky + h, kx:kx + w, :]
 
-    embossed = conv(images, k_const) + s * conv(images, k_s)
+    embossed = (
+        (-1.0 - s) * sh(0, 0)
+        - s * sh(0, 1)
+        - s * sh(1, 0)
+        + sh(1, 1)
+        + s * sh(1, 2)
+        + s * sh(2, 1)
+        + (1.0 + s) * sh(2, 2)
+    )
     a = alpha[:, None, None, None]
     return jnp.clip((1 - a) * images + a * embossed, 0, 255)
 
@@ -775,6 +817,8 @@ class AugmentationEngine:
 
         # inverse matrix drives image sampling: in = F^-1 @ out
         inverse = jnp.linalg.inv(forward)
+        # static sampled-row-span bound for the windowed Pallas warp
+        span_bound = _warp_row_span_bound(spec, self.hflip)
 
         # base output grid
         ys, xs = jnp.meshgrid(
@@ -836,7 +880,7 @@ class AugmentationEngine:
                 (coords[..., 0:1] >= -0.5) & (coords[..., 0:1] <= w - 0.5)
                 & (coords[..., 1:2] >= -0.5) & (coords[..., 1:2] <= h - 0.5)
             ).astype(images.dtype)
-            warped = warp_bilinear(images, clamped)
+            warped = warp_bilinear(images, clamped, row_span_bound=span_bound)
             bt, c_ = warped.shape[0], warped.shape[-1]
             # per-image kernels via channel groups: (1, H, W, B*T*C) input,
             # one k x k kernel per group
@@ -857,7 +901,7 @@ class AugmentationEngine:
                 blurred.reshape(h, w, bt, c_).transpose(2, 0, 1, 3) * in_bounds
             )
         else:
-            warped = warp_bilinear(images, coords)
+            warped = warp_bilinear(images, coords, row_span_bound=span_bound)
 
         # keypoints through the forward matrix
         kp_h = jnp.concatenate(

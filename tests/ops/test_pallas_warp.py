@@ -64,6 +64,60 @@ def test_identity_warp_is_near_exact(rng):
     np.testing.assert_allclose(out, img, atol=1.0)
 
 
+@pytest.mark.parametrize("theta,jitter", [(0.35, None), (0.2, 8.0), (0.0, 4.0)])
+def test_windowed_matches_full(rng, theta, jitter):
+    """With a valid row_span_bound the windowed contraction is exactly the
+    full kernel: the dynamic row window covers every in-frame tap of each
+    tile (rotation pushes corner tiles' windows against the clamp edges)."""
+    b, h, w = 2, 256, 256
+    img = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    coords = _affine_coords(b, h, w, theta, jitter=jitter, rng=rng)
+    # span over an (8, 128) tile: |sin|*127 + |cos|*7 (+ 2*jitter)
+    bound = abs(np.sin(theta)) * 127 + abs(np.cos(theta)) * 7
+    if jitter:
+        bound += 2 * jitter
+    full = np.asarray(warp_bilinear_pallas(img, coords, interpret=True))
+    windowed = np.asarray(
+        warp_bilinear_pallas(
+            img, coords, row_span_bound=bound, interpret=True
+        )
+    )
+    from lightning_pose_tpu.ops.pallas_warp import row_window_size
+
+    assert row_window_size(bound, h) < h  # the window actually engages
+    np.testing.assert_array_equal(windowed, full)
+
+
+def test_row_window_size():
+    from lightning_pose_tpu.ops.pallas_warp import row_window_size
+
+    assert row_window_size(None, 256) == 256
+    assert row_window_size(98.9, 256) == 112  # dlc preset @ 256px
+    assert row_window_size(300.0, 256) == 256  # bound >= H: full window
+    assert row_window_size(0.0, 256) == 16
+
+
+def test_dlc_span_bound_engages_window():
+    """The dlc preset's static span bound leaves real headroom at 256px."""
+    from lightning_pose_tpu.ops.augment import (
+        _warp_row_span_bound,
+        build_spec,
+    )
+    from lightning_pose_tpu.ops.pallas_warp import row_window_size
+
+    spec = build_spec("dlc")
+    bound = _warp_row_span_bound(spec, hflip=False)
+    assert bound is not None
+    assert row_window_size(bound, 256) <= 128
+    # odd-k rot90 (dlc-top-down) transposes axes: window ~ full height
+    spec_td = build_spec("dlc-top-down")
+    bound_td = _warp_row_span_bound(spec_td, hflip=False)
+    assert row_window_size(bound_td, 256) == 208  # 1.3*(127+7)+20 -> 208
+    # no geometric ops (dlc-mv is photometric-only) -> no bound needed
+    assert _warp_row_span_bound(build_spec("dlc-mv"), hflip=False) is None
+    assert _warp_row_span_bound(build_spec(None), hflip=False) is None
+
+
 def test_supported_predicate():
     assert pallas_warp_supported((4, 256, 256, 3), (4, 256, 256, 2))
     assert pallas_warp_supported((4, 128, 384, 3), (4, 128, 384, 2))
