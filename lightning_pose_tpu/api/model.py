@@ -340,6 +340,7 @@ class Model:
             return kp, conf
 
         self._predict_fn = dp_predict
+        self._dp_active = True
         logger.info(f"prediction batches sharded across {n} devices")
 
     # -- prediction entry points -----------------------------------------------------
@@ -486,6 +487,9 @@ class Model:
             bbox_df=bbox_df,
             progress_file=progress_file,
             transfer_format=self._video_transfer_format(),
+            # the dp wrapper pads + shards its own (host) inputs: a
+            # prefetched single-device commit would bounce back to host
+            prefetch=not getattr(self, "_dp_active", False),
         )
 
     def _video_transfer_format(self) -> str:
@@ -545,6 +549,7 @@ class Model:
             transfer_format=self._video_transfer_format(),
             output_dir=str(output_dir) if output_dir else None,
             progress_file=progress_file,
+            prefetch=not getattr(self, "_dp_active", False),
         )
 
     def predict_on_label_csv_multiview(

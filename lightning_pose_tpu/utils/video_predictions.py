@@ -23,6 +23,45 @@ logger = logging.getLogger(__name__)
 __all__ = ["predict_video", "predict_video_multiview", "generate_labeled_video"]
 
 
+def _device_prefetch(loader, depth: int = 2):
+    """Double-buffered host->device transfer: a background thread
+    ``jax.device_put``s batch t+1 while the main thread dispatches compute
+    on batch t.
+
+    Without this the jitted call transfers its numpy argument synchronously
+    on the dispatching thread, serializing transfer and the per-dispatch
+    RPC on remote-attached accelerators (each carries ~30-50 ms through
+    the tunnel this was measured on). ``depth`` bounds in-flight batches so
+    decode can't run ahead of HBM. On CPU backends the transfer is a no-op
+    copy and the thread costs nothing measurable.
+    """
+    import queue
+    import threading
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            for batch in loader:
+                q.put(jax.device_put(batch))
+        except BaseException as e:  # surface decode/transfer errors
+            errors.append(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 def predict_video(
     video_file: str,
     cfg,
@@ -36,6 +75,7 @@ def predict_video(
     bbox_df=None,
     progress_file=None,
     transfer_format: str = "rgb",
+    prefetch: bool = True,
 ):
     """Run inference on one video; write ``video_preds/<stem>.csv`` (+
     optional labeled mp4 + metric side CSVs). Returns a
@@ -103,9 +143,12 @@ def predict_video(
     t0 = time.time()
     # dispatch all batches asynchronously (device work overlaps host
     # decode), then fetch results at the end — one pipeline, no per-batch
-    # host sync
+    # host sync. With prefetch, batch t+1's host->device transfer rides a
+    # background thread while batch t dispatches (``prefetch=False`` for
+    # data-parallel predict_fns that shard their own inputs).
+    batches = _device_prefetch(loader) if prefetch else loader
     device_preds = []
-    for i, batch in enumerate(loader):
+    for i, batch in enumerate(batches):
         kp, conf = predict_fn(state, batch, batch_bbox(i))
         device_preds.append((kp, conf))
     # progress steps at materialization (np.asarray blocks until the device
@@ -179,6 +222,7 @@ def predict_video_multiview(
     transfer_format: str = "rgb",
     output_dir: str | None = None,
     progress_file=None,
+    prefetch: bool = True,
 ):
     """Frame-synchronized multiview video inference: one CSV per view
     (reference api/model.py:1225 ``predict_on_video_file_multiview``).
@@ -222,7 +266,7 @@ def predict_video_multiview(
 
     t0 = time.time()
     preds = []
-    for batch in loader:
+    for batch in (_device_prefetch(loader) if prefetch else loader):
         kp, conf = predict_fn(state, batch, bbox)
         preds.append((np.asarray(kp), np.asarray(conf)))
         if progress is not None:
