@@ -1,6 +1,29 @@
 """Dataset-level tests mirroring the reference's test intents
 (reference tests/data/test_datasets.py): visibility-column parsing,
-context-frame stacks with edge handling, multiview batch contracts."""
+context-frame stacks with edge handling, multiview batch contracts.
+
+Reference-case mapping (reference tests/data/test_datasets.py):
+  :27,1363   base/heatmap dataset basics + equal return sizes  -> here
+             (test_base_and_heatmap_equal_sizes, resize-dims sweep) and
+             tests/data/test_datamodules.py (test_dataset_basic)
+  :45-82     heatmap dataset + context shapes                  -> here
+  :83-527    multiview batch/context/resize contracts          -> here
+             (fusion ordering, context stacks, resize sweep)
+  :390       (64,64)/(128,256)/(480,640) resize parametrize    -> here
+             (test_resize_dims_sweep)
+  :529-924   Apply3DTransforms incl. cv2 goldens, scaling/
+             translation monotonicity, NaN/insufficient-kp     -> tests/data/test_cameras.py
+  :925-1016  camgroup + frame-map CSV loading                  -> tests/data/test_anipose.py
+  :1017-1160 path-based TOML discovery                         -> here
+             (test_discovery_*; partial-calibration case in
+             tests/data/test_anipose.py)
+  :1162-1361 visibility parsing                                -> here
+  :1368-1405 hflip swap indices                                -> here
+  :1407-1611 hflip behavior (mirror/swap/context/val-gating)   -> tests/ops/test_augment.py
+             (keypoint+visibility swap) and tests/test_train.py
+             (test_train_hflip_left_right_pairs e2e; val/test
+             loaders never enter the train-only aug engine)
+"""
 
 import os
 
@@ -412,3 +435,208 @@ def test_sample_bbox_defaults_to_full_frame(visibility_data_dir):
     )
     # original image is 40 tall x 30 wide -> bbox [x, y, h, w]
     np.testing.assert_allclose(ds[0]["bbox"], [0.0, 0.0, 40.0, 30.0])
+
+
+# -- resize-dims sweep (reference test_datasets.py:390-420) --------------------
+
+
+@pytest.mark.parametrize(
+    "rh,rw", [(128, 128), (128, 256), (256, 384)]
+)
+def test_resize_dims_sweep(visibility_data_dir, rh, rw):
+    """Sample shapes, keypoint scaling, and heatmap geometry track
+    rectangular resize dims. (The reference sweeps (64,64)/(480,640) too;
+    this framework's config contract pins dims to multiples of 128 —
+    datasets.py:256-260 — so the sweep stays on the supported lattice.)"""
+    ds = HeatmapDataset(
+        root_directory=str(visibility_data_dir), csv_path="labels.csv",
+        image_resize_height=rh, image_resize_width=rw,
+    )
+    s = ds[0]
+    assert s["images"].shape == (rh, rw, 3)
+    # original images are 40 tall x 30 wide; CSV kp1 = (24, 24)
+    np.testing.assert_allclose(
+        ds.keypoints_resized(0)[0], [24.0 * rw / 30, 24.0 * rh / 40], rtol=1e-6
+    )
+    assert ds.output_shape == (rh // 4, rw // 4)
+
+
+def test_base_and_heatmap_equal_sizes(visibility_data_dir):
+    """BaseTrackingDataset and HeatmapDataset expose identical lengths and
+    sample contracts on the same CSV (reference test_datasets.py:1363)."""
+    from lightning_pose_tpu.data.datasets import BaseTrackingDataset
+
+    kw = dict(
+        root_directory=str(visibility_data_dir), csv_path="labels.csv",
+        image_resize_height=128, image_resize_width=128,
+    )
+    base, heat = BaseTrackingDataset(**kw), HeatmapDataset(**kw)
+    assert len(base) == len(heat) == 2
+    sb, sh = base[0], heat[0]
+    assert sb["images"].shape == sh["images"].shape
+    np.testing.assert_allclose(sb["keypoints"], sh["keypoints"])
+    np.testing.assert_array_equal(sb["visibility"], sh["visibility"])
+
+
+# -- path-based calibration discovery (reference test_datasets.py:1017-1160) ---
+
+_DISCOVERY_TOML = """
+[cam_0]
+name = "top"
+size = [ 48, 40,]
+matrix = [ [ 50.0, 0.0, 24.0,], [ 0.0, 50.0, 20.0,], [ 0.0, 0.0, 1.0,],]
+distortions = [ 0.0,]
+rotation = [ 0.0, 0.0, 0.0,]
+translation = [ 0.0, 0.0, 10.0,]
+
+[cam_1]
+name = "bot"
+size = [ 48, 40,]
+matrix = [ [ 50.0, 0.0, 24.0,], [ 0.0, 50.0, 20.0,], [ 0.0, 0.0, 1.0,],]
+distortions = [ 0.0,]
+rotation = [ 1.0, 0.2, -0.1,]
+translation = [ 0.1, -0.2, 9.0,]
+"""
+
+
+def _make_mv_dir(tmp_path, sessions=("sessA",), layout="labeled-data"):
+    """Synthesize a tiny 2-view multiview dir: 2 frames per session,
+    2 keypoints, views top/bot."""
+    import pandas as pd
+
+    root = tmp_path / "mvdisc"
+    frames = []
+    for sess in sessions:
+        for i in range(2):
+            frames.append((sess, f"img{i:02d}.png"))
+    for view in ("top", "bot"):
+        rows = {}
+        for sess, fname in frames:
+            rel = f"{layout}/{sess}_{view}/{fname}" if "_" != sess else fname
+            _write_img(str(root / rel), h=40, w=48)
+            rows[rel] = [24.0, 20.0, 10.0, 30.0]
+        df = pd.DataFrame.from_dict(
+            rows, orient="index",
+            columns=pd.MultiIndex.from_product(
+                [["s"], ["kp1", "kp2"], ["x", "y"]],
+                names=["scorer", "bodyparts", "coords"],
+            ).remove_unused_levels()[:4],
+        )
+        cols = pd.MultiIndex.from_tuples(
+            [("s", "kp1", "x"), ("s", "kp1", "y"),
+             ("s", "kp2", "x"), ("s", "kp2", "y")],
+            names=["scorer", "bodyparts", "coords"],
+        )
+        df.columns = cols
+        df.to_csv(root / f"{view}.csv")
+    return root
+
+
+def _mv_disc_cfg(cfg, root):
+    c = cfg.copy()
+    c.data.data_dir = str(root)
+    c.data.view_names = ["top", "bot"]
+    c.data.csv_file = ["top.csv", "bot.csv"]
+    c.data.num_keypoints = 2
+    c.data.keypoint_names = None
+    c.data.mirrored_column_matches = None
+    c.data.columns_for_singleview_pca = None
+    c.data.camera_params_file = None
+    return c
+
+
+def test_discovery_session_toml(cfg, tmp_path):
+    """labeled-data/<session>_<view>/ frames pick up
+    calibrations/<session>.toml (reference test_datasets.py:1042)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    root = _make_mv_dir(tmp_path)
+    (root / "calibrations").mkdir()
+    (root / "calibrations" / "sessA.toml").write_text(_DISCOVERY_TOML)
+    ds = MultiviewHeatmapDataset(_mv_disc_cfg(cfg, root), str(root))
+    assert ds.is_calibrated
+    s = ds[0]
+    assert s["intrinsic_matrix"].shape == (2, 3, 3)
+    assert s["extrinsic_matrix"].shape == (2, 3, 4)
+
+
+def test_discovery_fallback_toml(cfg, tmp_path):
+    """Without a per-session file, a root calibration.toml is used
+    (reference test_datasets.py:1058)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    root = _make_mv_dir(tmp_path)
+    (root / "calibration.toml").write_text(_DISCOVERY_TOML)
+    ds = MultiviewHeatmapDataset(_mv_disc_cfg(cfg, root), str(root))
+    assert ds.is_calibrated
+
+
+def test_discovery_no_calibration_is_uncalibrated(cfg, tmp_path):
+    """No TOML anywhere -> dataset stays uncalibrated, no error
+    (reference test_datasets.py:1072)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    root = _make_mv_dir(tmp_path)
+    ds = MultiviewHeatmapDataset(_mv_disc_cfg(cfg, root), str(root))
+    assert not ds.is_calibrated
+    assert "intrinsic_matrix" not in ds[0]
+
+
+def test_discovery_multi_session(cfg, tmp_path):
+    """Each session resolves its own calibrations/<session>.toml
+    (reference test_datasets.py:1105)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    root = _make_mv_dir(tmp_path, sessions=("sessA", "sessB"))
+    (root / "calibrations").mkdir()
+    (root / "calibrations" / "sessA.toml").write_text(_DISCOVERY_TOML)
+    (root / "calibrations" / "sessB.toml").write_text(_DISCOVERY_TOML)
+    ds = MultiviewHeatmapDataset(_mv_disc_cfg(cfg, root), str(root))
+    assert ds.is_calibrated
+    assert len(ds._calib_by_file) == 2
+    assert len(set(ds._calib_file_per_frame)) == 2
+
+
+def test_discovery_do_context_raises(cfg, tmp_path):
+    """Discovered calibration + do_context is rejected (3D aug unsupported
+    for context models; reference test_datasets.py:1149)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    root = _make_mv_dir(tmp_path)
+    (root / "calibration.toml").write_text(_DISCOVERY_TOML)
+    with pytest.raises(ValueError, match="not supported for context"):
+        MultiviewHeatmapDataset(_mv_disc_cfg(cfg, root), str(root),
+                                do_context=True)
+
+
+def test_discovery_folder_without_underscore_raises(cfg, tmp_path):
+    """labeled-data folders must follow <session>_<view>
+    (reference test_datasets.py:1140)."""
+    import pandas as pd
+
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    root = _make_mv_dir(tmp_path)
+    # rewrite one view's paths to a folder with no underscore
+    for view in ("top", "bot"):
+        df = pd.read_csv(root / f"{view}.csv", header=[0, 1, 2], index_col=0)
+        new_index = [p.replace(f"sessA_{view}", "nounderscore")
+                     for p in df.index]
+        for old, new in zip(df.index, new_index):
+            dst = root / new
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            os.replace(root / old, dst)
+        df.index = pd.Index(new_index)
+        df.to_csv(root / f"{view}.csv")
+    with pytest.raises(ValueError, match="does not match expected pattern"):
+        MultiviewHeatmapDataset(_mv_disc_cfg(cfg, root), str(root))
+
+
+def test_discovery_path_without_labeled_data_raises(cfg, tmp_path):
+    """Image paths outside labeled-data/ are a layout error
+    (reference test_datasets.py:1131)."""
+    from lightning_pose_tpu.data.datasets_multiview import MultiviewHeatmapDataset
+
+    root = _make_mv_dir(tmp_path, layout="frames")
+    with pytest.raises(ValueError, match="labeled-data"):
+        MultiviewHeatmapDataset(_mv_disc_cfg(cfg, root), str(root))
