@@ -95,70 +95,15 @@ RUNS = {
     "semisup": ["pca_singleview", "temporal"],
 }
 
-# the remote-TPU tunnel can hang a single RPC for many minutes; run each
-# training in a child process, watch the output dir for progress, and
-# kill+restart (with training.resume=true, losing at most
-# check_val_every_n_epoch epochs) on stall
-# must exceed the scanned train program's cold XLA compile, which alone
-# can pass 10 min through the tunnel (nothing is written during compile)
+# stall watchdog (scripts/watchdog.py): kill + resume on tunnel hangs
 STALL_SECS = int(os.environ.get("SEMISUP_DEMO_STALL_SECS", "900"))
-MAX_ATTEMPTS = 6
-
-
-def _newest_mtime(out_dir: Path) -> float:
-    newest = 0.0
-    if out_dir.exists():
-        for p in out_dir.rglob("*"):
-            try:
-                newest = max(newest, p.stat().st_mtime)
-            except OSError:
-                pass
-    return newest
 
 
 def _run_watched(root: Path, name: str) -> dict:
-    import json
-    import subprocess
-    import time
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from watchdog import run_watched
 
-    out_dir = root / name
-    for attempt in range(MAX_ATTEMPTS):
-        cmd = [sys.executable, os.path.abspath(__file__), str(root),
-               "--child", name]
-        if attempt > 0:
-            cmd.append("--resume")
-        proc = subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True
-        )
-        import threading
-
-        lines: list[str] = []
-
-        def _pump(stream=proc.stdout, sink=lines):
-            for ln in stream:
-                print(ln, end="", flush=True)
-                sink.append(ln)
-
-        t = threading.Thread(target=_pump, daemon=True)
-        t.start()
-        start = time.time()
-        while proc.poll() is None:
-            time.sleep(30)
-            last = max(_newest_mtime(out_dir), start)
-            if time.time() - last > STALL_SECS:
-                print(f"[watchdog] {name} attempt {attempt + 1}: no progress "
-                      f"for {STALL_SECS}s — killing (tunnel hang?)", flush=True)
-                proc.kill()
-                proc.wait()
-                break
-        t.join(timeout=10)
-        if proc.returncode == 0:
-            for ln in reversed(lines):
-                if ln.startswith("{"):
-                    return json.loads(ln)
-            raise SystemExit(f"{name}: child exited 0 without a result line")
-        time.sleep(30)  # give the tunnel a moment before retrying
-    raise SystemExit(f"{name}: failed after {MAX_ATTEMPTS} attempts")
+    return run_watched(__file__, root, name, STALL_SECS)
 
 
 def main() -> None:
