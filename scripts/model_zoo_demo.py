@@ -174,8 +174,11 @@ def main() -> None:
     import json
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # resolve before spawning children: config data_dir overrides must be
+    # absolute (return_absolute_path resolves relative paths against the
+    # hydra-style run dir, not the cwd)
     root = Path(args[0] if args and args[0] not in RUNS
-                else "outputs/model_zoo")
+                else "outputs/model_zoo").resolve()
 
     if "--child" in sys.argv:
         name = sys.argv[sys.argv.index("--child") + 1]
