@@ -34,6 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lightning_pose_tpu.ops.pallas_clahe import (
+    clahe_apply_pallas,
+    pallas_clahe_supported,
+)
+
 __all__ = ["AugmentationEngine", "grid_sample_bilinear", "warp_bilinear"]
 
 
@@ -303,6 +308,11 @@ def _equalize_hist(images: jax.Array, clip_limit: jax.Array | None = None) -> ja
     denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
     lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0, 255)  # (B, C, 256)
 
+    # (the fused Pallas LUT kernel was tried here and measured SLOWER than
+    # this nibble-matmul form: a shared per-image LUT makes the apply an
+    # MXU problem, and the VPU one-hot lookup can't compete — see
+    # ops/pallas_clahe.py, which pays off only for CLAHE's per-column
+    # interpolated tables)
     lut2 = lut.reshape(b, c, 16, 16).astype(jnp.bfloat16)
     rows = jnp.einsum(
         "bcnh,bchl->bcnl", oh_hi, lut2,
@@ -310,6 +320,50 @@ def _equalize_hist(images: jax.Array, clip_limit: jax.Array | None = None) -> ja
     )  # (B, C, N, 16): LUT row selected by the high nibble
     eq = jnp.sum(rows * oh_lo.astype(jnp.float32), axis=-1)  # (B, C, N)
     return eq.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def _clahe_lut_grid(x: jax.Array, clip_limit: jax.Array, g: int) -> jax.Array:
+    """Per-tile clip-limited LUTs for tiled CLAHE: ``x (B, C, H, W)`` int32
+    values 0-255, returns ``(B, C, g, g, 256)`` f32 LUTs.
+
+    Histograms reuse the nibble-split MXU trick of :func:`_equalize_hist`.
+    The clip follows cv2's exact integer clip + redistribution (clahe.cpp):
+    limit = max(int(clipLimit * tile_area / 256), 1); the clipped mass
+    spreads as floor(clipped/256) to EVERY bin plus +1 to the first
+    ``residual`` bins at stride max(256//residual, 1). The integer residual
+    pass matters: per-tile histograms are sparse, so for small clip limits
+    most of the mass moves through it (a uniform float redistribution lands
+    ~30 gray levels away from cv2; this form lands within ~2).
+    """
+    b, c, h, w = x.shape
+    th, tw = h // g, w // g
+    n = th * tw
+    nib = jnp.arange(16, dtype=jnp.int32)
+    tiles = (
+        x.reshape(b, c, g, th, g, tw)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(b, c, g * g, n)
+    )
+    oh_hi = ((tiles[..., None] >> 4) == nib).astype(jnp.bfloat16)
+    oh_lo = ((tiles[..., None] & 15) == nib).astype(jnp.bfloat16)
+    counts = jnp.einsum(
+        "bctnh,bctnl->bcthl", oh_hi, oh_lo,
+        preferred_element_type=jnp.float32,
+    ).reshape(b, c, g * g, 256)
+    limit = jnp.maximum(
+        jnp.floor(clip_limit[:, None, None, None] * n / 256.0), 1.0
+    )
+    clipped = jnp.sum(jnp.maximum(counts - limit, 0.0), axis=-1, keepdims=True)
+    redist = jnp.floor(clipped / 256.0)
+    residual = clipped - redist * 256.0  # integer-valued, in [0, 256)
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+    bins = jnp.arange(256, dtype=jnp.float32)
+    bump = (
+        (jnp.mod(bins, step) == 0) & (jnp.floor(bins / step) < residual)
+    ).astype(jnp.float32)
+    counts = jnp.minimum(counts, limit) + redist + bump
+    cdf = jnp.cumsum(counts, axis=-1)
+    return jnp.clip(cdf * (255.0 / n), 0.0, 255.0).reshape(b, c, g, g, 256)
 
 
 def _equalize_clahe_tiled(
@@ -338,47 +392,26 @@ def _equalize_clahe_tiled(
     if g <= 1 or h % (2 * g) or w % (2 * g):
         # dims don't split into half-blocks: global clip-limited fallback
         return _equalize_hist(images, clip_limit=clip_limit)
-    th, tw = h // g, w // g
-    n = th * tw
     vals = jnp.clip(images, 0, 255).astype(jnp.int32)
     x = vals.transpose(0, 3, 1, 2)  # (B, C, H, W)
-    nib = jnp.arange(16, dtype=jnp.int32)
+    lut_grid = _clahe_lut_grid(x, clip_limit, g)
 
-    # --- per-tile clip-limited LUTs -------------------------------------
-    tiles = (
-        x.reshape(b, c, g, th, g, tw)
-        .transpose(0, 1, 2, 4, 3, 5)
-        .reshape(b, c, g * g, n)
-    )
-    oh_hi = ((tiles[..., None] >> 4) == nib).astype(jnp.bfloat16)
-    oh_lo = ((tiles[..., None] & 15) == nib).astype(jnp.bfloat16)
-    counts = jnp.einsum(
-        "bctnh,bctnl->bcthl", oh_hi, oh_lo,
-        preferred_element_type=jnp.float32,
-    ).reshape(b, c, g * g, 256)
-    # cv2's exact integer clip + redistribution (clahe.cpp): limit =
-    # max(int(clipLimit * tile_area / 256), 1); the clipped mass spreads as
-    # floor(clipped/256) to EVERY bin plus +1 to the first `residual` bins
-    # at stride max(256//residual, 1). The integer residual pass matters:
-    # per-tile histograms are sparse, so for small clip limits most of the
-    # mass moves through it (a uniform float redistribution lands ~30 gray
-    # levels away from cv2; this form lands within ~2).
-    limit = jnp.maximum(
-        jnp.floor(clip_limit[:, None, None, None] * n / 256.0), 1.0
-    )
-    clipped = jnp.sum(jnp.maximum(counts - limit, 0.0), axis=-1, keepdims=True)
-    redist = jnp.floor(clipped / 256.0)
-    residual = clipped - redist * 256.0  # integer-valued, in [0, 256)
-    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
-    bins = jnp.arange(256, dtype=jnp.float32)
-    bump = (
-        (jnp.mod(bins, step) == 0) & (jnp.floor(bins / step) < residual)
-    ).astype(jnp.float32)
-    counts = jnp.minimum(counts, limit) + redist + bump
-    cdf = jnp.cumsum(counts, axis=-1)
-    lut_grid = jnp.clip(cdf * (255.0 / n), 0.0, 255.0).reshape(b, c, g, g, 256)
+    # --- LUT blend: fused Pallas kernel on TPU ---------------------------
+    # the XLA half-block form below round-trips ~50 MB of one-hot/LUT-row
+    # intermediates per image-channel through HBM; the kernel keeps the
+    # blend in VMEM (ops/pallas_clahe.py) and measured ~4x faster at the
+    # augmentation engine's sparse group size
+    if jax.default_backend() == "tpu" and pallas_clahe_supported(h, w, g):
+        out = clahe_apply_pallas(
+            x.reshape(b * c, h, w).astype(jnp.float32),
+            lut_grid.reshape(b * c, g, g, 256),
+            g,
+        )
+        return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
     # --- half-block corner LUTs -----------------------------------------
+    th, tw = h // g, w // g
+    nib = jnp.arange(16, dtype=jnp.int32)
     r = jnp.arange(2 * g)
     lo = jnp.clip((r - 1) // 2, 0, g - 1)
     hi = jnp.clip((r - 1) // 2 + 1, 0, g - 1)

@@ -21,6 +21,16 @@ from lightning_pose_tpu.ops.augment import warp_bilinear
 
 __all__ = ["augment_video_sequence"]
 
+_ROT_DEG = 10.0
+_SCALE_LO, _SCALE_HI = 0.8, 1.2
+# static sampled-row span over one (8, 128) warp-kernel tile (see
+# ops/augment.py:_warp_row_span_bound): the inverse linear part is
+# Rot(-phi) @ diag(1/sx, 1/sy), so |dpy/dx| <= sin(rot)/s_lo and
+# |dpy/dy| <= cos(rot)/s_lo. Enables the windowed Pallas contraction
+# (~48 of 256 rows) on the per-step unlabeled warp — the full contraction
+# was ~824 GFLOP per 32-frame window at 256px
+_SPAN_BOUND = (np.sin(np.deg2rad(_ROT_DEG)) * 127.0 + 7.0) / _SCALE_LO
+
 
 def augment_video_sequence(
     rng: jax.Array, frames: jax.Array, apply_geometric: bool = True
@@ -36,10 +46,12 @@ def augment_video_sequence(
     if apply_geometric:
         # one rotation+scale for the whole sequence (reference dali.py:160-168
         # samples once per pipeline iteration)
-        angle = jax.random.uniform(k_rot, (), minval=-10.0, maxval=10.0) * (
-            np.pi / 180.0
+        angle = jax.random.uniform(
+            k_rot, (), minval=-_ROT_DEG, maxval=_ROT_DEG
+        ) * (np.pi / 180.0)
+        scale = jax.random.uniform(
+            k_scale, (2,), minval=_SCALE_LO, maxval=_SCALE_HI
         )
-        scale = jax.random.uniform(k_scale, (2,), minval=0.8, maxval=1.2)
         cx, cy = w / 2.0, h / 2.0
         cos, sin = jnp.cos(angle), jnp.sin(angle)
         # forward matrix: scale then rotate about center
@@ -64,7 +76,7 @@ def augment_video_sequence(
         grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
         coords = jnp.einsum("ij,hwj->hwi", inverse, grid)[..., :2]
         coords = jnp.broadcast_to(coords[None], (t, h, w, 2))
-        frames = warp_bilinear(frames, coords)
+        frames = warp_bilinear(frames, coords, row_span_bound=_SPAN_BOUND)
         transforms = jnp.broadcast_to(forward[None], (t, 2, 3))
     else:
         eye = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)

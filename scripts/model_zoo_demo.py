@@ -135,6 +135,10 @@ def run_one(root: Path, name: str, resume: bool = False) -> dict:
                 "model.backbone="
                 + os.environ.get("MODEL_ZOO_BACKBONE", "resnet50"),
                 "model.model_type=heatmap_mhcrnn",
+                # bs8 like the eval_dark convergence run: at ~209 train
+                # frames and fixed 100 epochs, bs16 halves the optimizer
+                # steps and lands ~5 px worse (14.4 vs 9.45 test)
+                "training.train_batch_size=8",
             ])
         elif name == "multiview":
             data_dir = make_mv_data(root)

@@ -125,3 +125,22 @@ def test_supported_predicate():
     assert not pallas_warp_supported((4, 250, 256, 3), (4, 250, 256, 2))
     assert not pallas_warp_supported((4, 256, 256, 1), (4, 256, 256, 2))
     assert not pallas_warp_supported((4, 256, 256, 3), (4, 128, 128, 2))
+
+
+def test_video_augment_span_bound(rng):
+    """The unlabeled-stream augmentation's static span bound (rot +-10deg,
+    scale >=0.8, ops/video_augment.py) engages the window and reproduces
+    the full contraction exactly at its worst-case geometry."""
+    from lightning_pose_tpu.ops.pallas_warp import row_window_size
+    from lightning_pose_tpu.ops.video_augment import _SPAN_BOUND
+
+    b, h, w = 2, 256, 256
+    assert row_window_size(_SPAN_BOUND, h) <= 48
+    img = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    # worst case: max rotation with the most magnifying inverse (scale_lo)
+    theta = np.deg2rad(10.0)
+    coords = _affine_coords(b, h, w, theta) / 0.8
+    full = np.asarray(warp_bilinear_pallas(img, coords, interpret=True))
+    windowed = np.asarray(warp_bilinear_pallas(
+        img, coords, row_span_bound=_SPAN_BOUND, interpret=True))
+    np.testing.assert_array_equal(windowed, full)
