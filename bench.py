@@ -792,16 +792,28 @@ def _preflight(timeout: int = 180, retries: int = 3, wait_s: int = 120) -> bool:
     return False
 
 
-def _watchdog(mode: str, timeout: int, retries: int = 2) -> dict | None:
+def _watchdog(
+    mode: str, timeout: int, retries: int = 2, deadline: float | None = None
+) -> dict | None:
     """Run one measurement in a subprocess with a timeout; retry on
-    hang/failure (single tunnel RPCs can hang for minutes)."""
+    hang/failure (single tunnel RPCs can hang for minutes). ``deadline``
+    (time.time() epoch) caps each attempt so the whole bench run stays
+    inside the driver's window — an attempt that can't get at least 120 s
+    is skipped rather than started doomed."""
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--child", f"--{mode}"]
     for attempt in range(retries):
+        attempt_timeout = timeout
+        if deadline is not None:
+            remaining = deadline - time.time()
+            if remaining < 120:
+                print(f"{mode}: skipped (budget exhausted)", file=sys.stderr)
+                return None
+            attempt_timeout = min(timeout, int(remaining))
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=timeout
+                cmd, capture_output=True, text=True, timeout=attempt_timeout
             )
         except subprocess.TimeoutExpired:
             print(
@@ -824,8 +836,10 @@ def _watchdog(mode: str, timeout: int, retries: int = 2) -> dict | None:
 
 def main() -> None:
     """Product-path fps (headline) + device-resident inference fps/MFU +
-    training steps/sec/MFU, each in its own watchdog subprocess, merged
-    into ONE JSON line.
+    training (supervised & semisup) steps/sec/MFU, each in its own watchdog
+    subprocess. The merged JSON object is re-printed (flushed) after every
+    completed mode — the LAST line is always the most complete result, and
+    a driver kill mid-run preserves everything measured so far.
 
     --raw / --device / --train run a single measurement (still
     watchdogged); --child --<mode> is the in-process measurement."""
@@ -847,7 +861,7 @@ def main() -> None:
     mode_timeouts = {"train": 900, "mv": 900, "train-semisup": 900}
 
     if single is not None:
-        if not _preflight():
+        if not _preflight(retries=2, wait_s=60):
             print(json.dumps({
                 "metric": single, "value": 0.0, "unit": "",
                 "vs_baseline": 0.0,
@@ -859,57 +873,85 @@ def main() -> None:
               "unit": "", "vs_baseline": 0.0, "error": "measurement failed"}))
         return
 
-    if not _preflight():
+    # global wall-clock budget: the driver kills bench.py at its own window
+    # (round-4 postmortem: rc=124 with every completed measurement lost).
+    # Keep the whole run comfortably inside it and emit the merged-so-far
+    # JSON line after EVERY completed mode so a mid-run kill still leaves
+    # the last printed line parseable with everything measured so far.
+    budget_s = int(os.environ.get("LP_BENCH_BUDGET_S", "3300"))
+    deadline = time.time() + budget_s
+
+    if not _preflight(retries=2, wait_s=60):
         print(json.dumps({
             "metric": "video_inference_fps_product_path_resnet50_heatmap",
             "value": 0.0,
             "unit": "frames/sec",
             "vs_baseline": 0.0,
             "error": "device preflight failed: accelerator unreachable "
-                     "(tunnel down?) after 3 attempts",
-        }))
+                     "(tunnel down?) after 2 attempts",
+        }), flush=True)
         return
 
-    product = _watchdog("product", timeout=600, retries=2)
-    device = _watchdog("device", timeout=480, retries=2)
-    # the scanned train program's cold compile alone can exceed 10 min
-    # through the tunnel; the persistent cache makes retries fast
-    train = _watchdog("train", timeout=900, retries=2)
-    train_semisup = _watchdog("train-semisup", timeout=900, retries=2)
-    mv = _watchdog("mv", timeout=900, retries=1)
-    vit = _watchdog("vit", timeout=480, retries=1)
+    out = {
+        "metric": "video_inference_fps_product_path_resnet50_heatmap",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+    }
 
-    if product is None:
-        product = {
-            "metric": "video_inference_fps_product_path_resnet50_heatmap",
-            "value": 0.0,
-            "unit": "frames/sec",
-            "vs_baseline": 0.0,
-            "error": "product measurement failed twice",
-        }
-    out = dict(product)
-    if device is not None:
-        out["device_resident_fps"] = device["value"]
-        out["device_inference_mfu_pct"] = device.get("mfu_pct")
-    if train is not None:
-        out["train_steps_per_sec"] = train["value"]
-        out["train_ms_per_step"] = train.get("ms_per_step")
-        out["train_mfu_pct"] = train.get("mfu_pct")
-        out["train_vs_t4_20min_baseline"] = train.get("vs_baseline")
-    if train_semisup is not None:
-        out["train_semisup_steps_per_sec"] = train_semisup["value"]
-        out["train_semisup_ms_per_step"] = train_semisup.get("ms_per_step")
-        out["train_semisup_mfu_pct"] = train_semisup.get("mfu_pct")
-        out["train_semisup_unlabeled_transfer_ms_per_step"] = (
-            train_semisup.get("unlabeled_transfer_ms_per_step")
-        )
-    if mv is not None:
-        out["multiview_2view_fps"] = mv["value"]
-        out["multiview_vs_t4_baseline"] = mv.get("vs_baseline")
-    if vit is not None:
-        out["vit_device_fps"] = vit["value"]
-        out["vit_device_mfu_pct"] = vit.get("mfu_pct")
-    print(json.dumps(out))
+    def merge(mode: str, r: dict | None) -> None:
+        if r is None:
+            return
+        if mode == "product":
+            out.update({"value": r["value"],
+                        "vs_baseline": r["vs_baseline"]})
+        elif mode == "device":
+            out["device_resident_fps"] = r["value"]
+            out["device_inference_mfu_pct"] = r.get("mfu_pct")
+        elif mode == "train":
+            out["train_steps_per_sec"] = r["value"]
+            out["train_ms_per_step"] = r.get("ms_per_step")
+            out["train_mfu_pct"] = r.get("mfu_pct")
+            out["train_vs_t4_20min_baseline"] = r.get("vs_baseline")
+        elif mode == "train-semisup":
+            out["train_semisup_steps_per_sec"] = r["value"]
+            out["train_semisup_ms_per_step"] = r.get("ms_per_step")
+            out["train_semisup_mfu_pct"] = r.get("mfu_pct")
+            out["train_semisup_unlabeled_transfer_ms_per_step"] = (
+                r.get("unlabeled_transfer_ms_per_step")
+            )
+        elif mode == "mv":
+            out["multiview_2view_fps"] = r["value"]
+            out["multiview_vs_t4_baseline"] = r.get("vs_baseline")
+        elif mode == "vit":
+            out["vit_device_fps"] = r["value"]
+            out["vit_device_mfu_pct"] = r.get("mfu_pct")
+
+    # highest-value measurements first (headline product fps, then the two
+    # training numbers); once any mode times out through all its retries,
+    # drop remaining modes to a single attempt (degraded tunnel)
+    plan = [
+        ("product", 600, 2),
+        ("train", 900, 2),
+        ("train-semisup", 900, 2),
+        ("device", 480, 2),
+        ("mv", 900, 1),
+        ("vit", 480, 1),
+    ]
+    degraded = False
+    for mode, timeout, retries in plan:
+        if degraded:
+            retries = 1
+        r = _watchdog(mode, timeout=timeout, retries=retries,
+                      deadline=deadline)
+        if r is None:
+            degraded = True
+            if out["value"] == 0.0 and mode == "product":
+                out["error"] = "product measurement failed"
+        merge(mode, r)
+        # flush the merged-so-far line: if the driver kills us after this
+        # point, the tail's last JSON line still carries this measurement
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

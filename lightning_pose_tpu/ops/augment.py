@@ -124,6 +124,20 @@ def _warp_row_span_bound(spec: dict, hflip: bool) -> float | None:
     ) or hflip or spec["fliplr"] is not None
     if not has_geo:
         return None
+    # the bound below models rotation-only affines, isotropic croppad
+    # scaling, and alpha-bounded elastic displacement; if a later pipeline
+    # adds imgaug-style affine scale/shear/translate (or new croppad/elastic
+    # magnitudes) this bound would silently under-cover and the windowed
+    # warp kernel would drop in-frame taps — fail loudly instead
+    for op, allowed in (("affine", {"p", "rotate"}),
+                        ("croppad", {"p", "percent"}),
+                        ("elastic", {"p", "alpha", "sigma"})):
+        if spec[op] is not None and not set(spec[op]) <= allowed:
+            raise NotImplementedError(
+                f"_warp_row_span_bound does not model {op} keys "
+                f"{sorted(set(spec[op]) - allowed)}; extend the bound or "
+                f"pass row_span_bound=None to disable the windowed kernel"
+            )
     br, bw = 8.0, 128.0  # pallas_warp tile shape
     s = 1.0
     if spec["croppad"] is not None:

@@ -42,24 +42,45 @@ def _device_prefetch(loader, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     errors: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for batch in loader:
-                q.put(jax.device_put(batch))
+                item = jax.device_put(batch)
+                # bounded put so an abandoned consumer (predict_fn raised,
+                # generator closed mid-iteration) can't strand this thread
+                # on a full queue for the process lifetime
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surface decode/transfer errors
             errors.append(e)
         finally:
-            q.put(None)
+            while True:
+                try:
+                    q.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()  # unblock + retire the worker if we exit early
 
 
 def predict_video(

@@ -144,3 +144,25 @@ def test_video_augment_span_bound(rng):
     windowed = np.asarray(warp_bilinear_pallas(
         img, coords, row_span_bound=_SPAN_BOUND, interpret=True))
     np.testing.assert_array_equal(windowed, full)
+
+
+def test_span_bound_rejects_unmodeled_affine_keys():
+    """The bound models rotation-only affines; an extended spec (e.g.
+    imgaug-style scale/shear) must fail loudly rather than silently
+    under-covering the windowed kernel (ADVICE r4)."""
+    import pytest
+
+    from lightning_pose_tpu.ops.augment import (
+        _warp_row_span_bound,
+        build_spec,
+    )
+
+    spec = build_spec("dlc")
+    spec["affine"] = dict(spec["affine"], scale=(0.5, 1.5))
+    with pytest.raises(NotImplementedError, match="scale"):
+        _warp_row_span_bound(spec, hflip=False)
+
+    spec2 = build_spec("dlc")
+    spec2["elastic"] = dict(spec2["elastic"], order=3)
+    with pytest.raises(NotImplementedError, match="order"):
+        _warp_row_span_bound(spec2, hflip=False)
