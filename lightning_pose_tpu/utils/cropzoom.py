@@ -31,22 +31,9 @@ __all__ = [
 ]
 
 
-def _round_up_to_even(values):
-    """Even dimensions keep video players happy."""
+def _even(values):
+    """Round up to even: many video players reject odd frame dimensions."""
     return values + values % 2
-
-
-def _calculate_bbox_size(keypoints_per_frame: np.ndarray, crop_ratio: float) -> np.ndarray:
-    """Square bbox size per frame from the keypoint span x crop_ratio,
-    rounded up to even (reference cropzoom.py:40-62). NaN keypoints are
-    ignored (divergence: the reference propagates them)."""
-    spans = np.nanmax(keypoints_per_frame, axis=1) - np.nanmin(
-        keypoints_per_frame, axis=1
-    )  # (frames, 2): per-axis extent of the animal
-    side = _round_up_to_even(
-        np.ceil(spans.max(axis=1) * crop_ratio).astype(int)
-    )
-    return np.repeat(side[:, None], 2, axis=1)
 
 
 def _anchor_coords(pred_df: pd.DataFrame, anchor_keypoints: list[str]) -> np.ndarray:
@@ -69,32 +56,40 @@ def _compute_bbox_df(
     crop_height: int | None = None,
     crop_width: int | None = None,
 ) -> pd.DataFrame:
-    """Bbox DataFrame [x, y, h, w] per frame (reference cropzoom.py:65-143).
+    """Per-frame [x, y, h, w] bbox table, centred on the anchor-keypoint
+    centroid (behavioral contract: reference cropzoom.py:65-143).
 
-    The box is centred on the per-frame centroid of the anchor keypoints and
-    sized either by scaling the keypoint span (``crop_ratio``) or to a fixed
-    ``(crop_height, crop_width)``. Exactly one sizing mode must be given.
+    Sizing is one of two mutually exclusive modes: ``crop_ratio`` scales the
+    larger per-frame keypoint extent into a square side (ceil, then even);
+    ``crop_height``/``crop_width`` fix the size for every frame. NaN
+    keypoints are ignored in the span/centroid (divergence: the reference
+    propagates them into the box).
     """
-    fixed_size_mode = crop_height is not None and crop_width is not None
-    if fixed_size_mode and crop_ratio is not None:
+    ratio_mode = crop_ratio is not None
+    fixed_mode = crop_height is not None and crop_width is not None
+    if ratio_mode and fixed_mode:
         raise ValueError(
             "provide either crop_ratio or (crop_height, crop_width), not both."
         )
-    if not fixed_size_mode and crop_ratio is None:
+    if not (ratio_mode or fixed_mode):
         raise ValueError(
             "one of crop_ratio or (crop_height, crop_width) must be provided."
         )
 
     coords = _anchor_coords(pred_df, anchor_keypoints)
-    if fixed_size_mode:
-        hw = [_round_up_to_even(crop_height), _round_up_to_even(crop_width)]
-        sizes = np.tile(hw, (len(pred_df), 1))
+    if ratio_mode:
+        extent = np.nanmax(coords, axis=1) - np.nanmin(coords, axis=1)
+        side = _even(np.ceil(extent.max(axis=1) * crop_ratio).astype(int))
+        sizes = np.stack([side, side], axis=1)  # (frames, h|w), square
     else:
-        sizes = _calculate_bbox_size(coords, crop_ratio=crop_ratio)
-    top_left = np.int64(np.nanmean(coords, axis=1) - sizes // 2)
+        sizes = np.broadcast_to(
+            np.asarray([_even(crop_height), _even(crop_width)]),
+            (len(pred_df), 2),
+        )
+    corner = (np.nanmean(coords, axis=1) - sizes // 2).astype(np.int64)
     return pd.DataFrame(
-        np.concatenate([top_left, sizes], axis=1),
-        index=pd.Index(pred_df.index),
+        np.concatenate([corner, sizes], axis=1),
+        index=pred_df.index,
         columns=pd.Index(["x", "y", "h", "w"]),
     )
 
@@ -105,17 +100,18 @@ def generate_bbox(
     output_bbox_file: Path,
 ) -> None:
     """Compute bboxes from predictions and save (reference cropzoom.py:328)."""
-    pred_df = pd.read_csv(input_preds_file, header=[0, 1, 2], index_col=0)
-    pred_df = io.fix_empty_first_row(pred_df)
-    bbox_df = _compute_bbox_df(
-        pred_df,
+    preds = io.fix_empty_first_row(
+        pd.read_csv(input_preds_file, header=[0, 1, 2], index_col=0)
+    )
+    boxes = _compute_bbox_df(
+        preds,
         list(detector_cfg.anchor_keypoints),
         crop_ratio=detector_cfg.get("crop_ratio"),
         crop_height=detector_cfg.get("crop_height"),
         crop_width=detector_cfg.get("crop_width"),
     )
     Path(output_bbox_file).parent.mkdir(parents=True, exist_ok=True)
-    bbox_df.to_csv(output_bbox_file)
+    boxes.to_csv(output_bbox_file)
 
 
 def smooth_bbox(
@@ -124,27 +120,30 @@ def smooth_bbox(
     method: str = "median",
     window: int = 5,
 ) -> None:
-    """Rolling-median smoothing of bbox CSVs (reference cropzoom.py:355)."""
-    input_bbox_dir = Path(input_bbox_dir)
-    output_dir = Path(output_dir)
+    """Centered rolling-median smoothing of every ``*_bbox.csv`` in a
+    directory (reference cropzoom.py:355); writes same-named files plus a
+    metadata.json recording the parameters."""
+    src_dir, dst_dir = Path(input_bbox_dir), Path(output_dir)
     if method not in ("median",):
         raise ValueError(f"unsupported method {method!r}; choose one of ('median',).")
-    bbox_files = sorted(input_bbox_dir.glob("*_bbox.csv"))
-    if not bbox_files:
-        raise ValueError(f"no *_bbox.csv files found in {input_bbox_dir}.")
-    output_dir.mkdir(parents=True, exist_ok=True)
-    for bbox_file in bbox_files:
-        bbox_df = pd.read_csv(bbox_file, index_col=0)
-        smoothed = bbox_df.rolling(window=window, center=True, min_periods=1).median()
-        smoothed = smoothed.round(0).astype(int)
-        smoothed.to_csv(output_dir / bbox_file.name)
-        logger.info(f"smoothed {bbox_file.name} -> {output_dir / bbox_file.name}")
-    metadata = {
-        "method": method,
-        "window": window,
-        "source": str(input_bbox_dir.resolve()),
-    }
-    (output_dir / "metadata.json").write_text(json.dumps(metadata, indent=2))
+    found = sorted(src_dir.glob("*_bbox.csv"))
+    if not found:
+        raise ValueError(f"no *_bbox.csv files found in {src_dir}.")
+    dst_dir.mkdir(parents=True, exist_ok=True)
+    for src in found:
+        rolled = (
+            pd.read_csv(src, index_col=0)
+            .rolling(window=window, center=True, min_periods=1)
+            .median()
+            .round(0)
+            .astype(int)
+        )
+        rolled.to_csv(dst_dir / src.name)
+        logger.info(f"smoothed {src.name} -> {dst_dir / src.name}")
+    (dst_dir / "metadata.json").write_text(json.dumps(
+        {"method": method, "window": window, "source": str(src_dir.resolve())},
+        indent=2,
+    ))
 
 
 def _crop_frame(frame: np.ndarray, x: int, y: int, h: int, w: int) -> np.ndarray:
@@ -165,17 +164,17 @@ def crop_video(
 ) -> None:
     """Crop a video to per-frame bboxes (cv2; reference cropzoom.py:405 uses
     moviepy)."""
-    bbox_df = pd.read_csv(input_bbox_file, index_col=0)
+    boxes = pd.read_csv(input_bbox_file, index_col=0).to_numpy(dtype=np.int64)
     Path(output_file).parent.mkdir(parents=True, exist_ok=True)
     cap = cv2.VideoCapture(str(input_video_file))
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     # the bbox CSV must be dense: one row per frame, no gaps
     # (reference cropzoom.py:_crop_video_moviepy raises on mismatch)
     n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    if len(bbox_df) != n_frames:
+    if len(boxes) != n_frames:
         cap.release()
         raise ValueError(
-            f"{Path(input_video_file).name}: bbox CSV has {len(bbox_df)} rows "
+            f"{Path(input_video_file).name}: bbox CSV has {len(boxes)} rows "
             f"but video has {n_frames} frames. The video bbox CSV must be "
             f"dense: exactly one row per frame with no gaps. If your tracking "
             f"has missing frames, carry the last known bbox forward to fill "
@@ -183,20 +182,19 @@ def crop_video(
         )
     # output size = median bbox dims rounded to nearest even integer
     # (reference cropzoom.py: h/w median, round(x/2)*2)
-    h0 = int(round(float(bbox_df["h"].median()) / 2) * 2)
-    w0 = int(round(float(bbox_df["w"].median()) / 2) * 2)
-    writer = cv2.VideoWriter(
-        str(output_file), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w0, h0)
+    out_h, out_w = (
+        int(round(float(np.median(boxes[:, dim])) / 2) * 2) for dim in (2, 3)
     )
-    for _, row in bbox_df.iterrows():
-        ret, frame = cap.read()
-        if not ret:
+    writer = cv2.VideoWriter(
+        str(output_file), cv2.VideoWriter_fourcc(*"mp4v"), fps, (out_w, out_h)
+    )
+    for x, y, h, w in boxes:
+        ok, frame = cap.read()
+        if not ok:
             break
-        crop = _crop_frame(
-            frame, int(row["x"]), int(row["y"]), int(row["h"]), int(row["w"])
-        )
-        if crop.shape[:2] != (h0, w0):
-            crop = cv2.resize(crop, (w0, h0))
+        crop = _crop_frame(frame, x, y, h, w)
+        if crop.shape[:2] != (out_h, out_w):
+            crop = cv2.resize(crop, (out_w, out_h))
         writer.write(crop)
     cap.release()
     writer.release()
@@ -219,32 +217,31 @@ def crop_labeled_frames(
     import concurrent.futures as cf
     import os
 
-    input_data_dir = Path(input_data_dir)
-    output_data_dir = Path(output_data_dir)
-    bbox_df = pd.read_csv(input_bbox_file, index_col=0)
-    output_data_dir.mkdir(parents=True, exist_ok=True)
+    src_root, dst_root = Path(input_data_dir), Path(output_data_dir)
+    boxes = pd.read_csv(input_bbox_file, index_col=0)
+    dst_root.mkdir(parents=True, exist_ok=True)
+    jobs = [
+        (str(rel), int(row["x"]), int(row["y"]), int(row["h"]), int(row["w"]))
+        for rel, row in boxes.iterrows()
+    ]
 
-    def crop_one(item):
-        img_rel, row = item
-        img_path = input_data_dir / str(img_rel)
-        img = cv2.imread(str(img_path))
+    def crop_one(job):
+        rel, x, y, h, w = job
+        img = cv2.imread(str(src_root / rel))
         if img is None:
-            logger.warning(f"could not read {img_path}; skipping")
+            logger.warning(f"could not read {src_root / rel}; skipping")
             return
-        crop = _crop_frame(
-            img, int(row["x"]), int(row["y"]), int(row["h"]), int(row["w"])
-        )
-        out_path = output_data_dir / str(img_rel)
-        out_path.parent.mkdir(parents=True, exist_ok=True)
-        cv2.imwrite(str(out_path), crop)
+        dst = dst_root / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(dst), _crop_frame(img, x, y, h, w))
 
     workers = num_workers or max(1, min(8, os.cpu_count() or 1))
     if workers <= 1:
-        for item in bbox_df.iterrows():
-            crop_one(item)
+        for job in jobs:
+            crop_one(job)
     else:
         with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(crop_one, bbox_df.iterrows()))
+            list(pool.map(crop_one, jobs))
     generate_cropped_csv_file(
         input_csv_file=input_csv_file,
         input_bbox_file=input_bbox_file,
@@ -258,19 +255,21 @@ def generate_cropped_csv_file(
     output_csv_file: str | Path,
     mode: str = "subtract",
 ) -> None:
-    """Add/subtract bbox offsets from CSV coordinates
-    (reference cropzoom.py:450-489)."""
+    """Translate CSV coordinates between original-frame and cropped-frame
+    spaces by the per-frame bbox corner: ``subtract`` maps original -> crop
+    coords, ``add`` maps back (behavioral contract: reference
+    cropzoom.py:450-489)."""
     if mode not in ("add", "subtract"):
         raise ValueError(f"{mode} is not a valid mode")
-    csv_data = pd.read_csv(input_csv_file, header=[0, 1, 2], index_col=0)
-    csv_data = io.fix_empty_first_row(csv_data)
-    bbox_data = pd.read_csv(input_bbox_file, index_col=0)
-    for col in csv_data.columns:
-        if col[-1] in ("x", "y"):
-            if mode == "subtract":
-                csv_data[col] = csv_data[col] - bbox_data[col[-1]]
-            else:
-                csv_data[col] = csv_data[col] + bbox_data[col[-1]]
-    output_csv_file = Path(output_csv_file)
-    output_csv_file.parent.mkdir(parents=True, exist_ok=True)
-    csv_data.to_csv(output_csv_file)
+    labels = io.fix_empty_first_row(
+        pd.read_csv(input_csv_file, header=[0, 1, 2], index_col=0)
+    )
+    corners = pd.read_csv(input_bbox_file, index_col=0)
+    sign = -1.0 if mode == "subtract" else 1.0
+    for axis in ("x", "y"):
+        axis_cols = labels.columns.get_level_values(-1) == axis
+        shift = sign * corners[axis].to_numpy()[:, None]
+        labels.loc[:, axis_cols] = labels.loc[:, axis_cols].to_numpy() + shift
+    out_path = Path(output_csv_file)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    labels.to_csv(out_path)

@@ -37,19 +37,30 @@ def _pred_df(n_frames=6, keypoints=("nose", "tail"), seed=0):
 # -- bbox size / bbox dataframe ---------------------------------------------
 
 
-def test_calculate_bbox_size_span_times_ratio_even():
-    kps = np.array([[[0.0, 0.0], [10.0, 21.0]]])  # span x=10, y=21
-    size = cz._calculate_bbox_size(kps, crop_ratio=1.0)
+def _df_from_points(points):
+    """One-frame prediction df from [(x, y), ...] keypoint coordinates."""
+    names = [f"kp{i}" for i in range(len(points))]
+    cols = pd.MultiIndex.from_tuples(
+        [("scorer", kp, c) for kp in names for c in ("x", "y", "likelihood")],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    row = [v for (x, y) in points for v in (x, y, 0.99)]
+    return pd.DataFrame([row], index=pd.Index(["img000.png"]), columns=cols)
+
+
+def test_bbox_size_span_times_ratio_even():
+    df = _df_from_points([(0.0, 0.0), (10.0, 21.0)])  # span x=10, y=21
+    bbox = cz._compute_bbox_df(df, anchor_keypoints=[], crop_ratio=1.0)
     # max span 21 -> ceil 21 -> rounded up to even 22, square
-    assert size.tolist() == [[22, 22]]
-    size2 = cz._calculate_bbox_size(kps, crop_ratio=2.0)
-    assert size2.tolist() == [[42, 42]]
+    assert bbox[["h", "w"]].to_numpy().tolist() == [[22, 22]]
+    bbox2 = cz._compute_bbox_df(df, anchor_keypoints=[], crop_ratio=2.0)
+    assert bbox2[["h", "w"]].to_numpy().tolist() == [[42, 42]]
 
 
-def test_calculate_bbox_size_ignores_nan():
-    kps = np.array([[[0.0, 0.0], [10.0, 10.0], [np.nan, np.nan]]])
-    size = cz._calculate_bbox_size(kps, crop_ratio=1.0)
-    assert size.tolist() == [[10, 10]]
+def test_bbox_size_ignores_nan():
+    df = _df_from_points([(0.0, 0.0), (10.0, 10.0), (np.nan, np.nan)])
+    bbox = cz._compute_bbox_df(df, anchor_keypoints=[], crop_ratio=1.0)
+    assert bbox[["h", "w"]].to_numpy().tolist() == [[10, 10]]
 
 
 def test_compute_bbox_df_centroid_and_size():
