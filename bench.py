@@ -342,7 +342,11 @@ def bench_train() -> dict:
 
     bs = 16
     n_cache = 64
-    n_steps = 15  # scan length: long enough to amortize RPC, short compile
+    # two scan lengths: the difference isolates the steady-state per-step
+    # time from the tunnel's fixed per-dispatch cost (~30-60 ms RPC +
+    # donation round-trip), which at 15 steps inflates ms/step by 2-4 ms
+    n_steps = 15
+    n_steps_long = 60
     num_keypoints = 17
 
     cfg = load_config()
@@ -405,50 +409,68 @@ def bench_train() -> dict:
             )
         ),
     }
-    idxs_all = np_rng.integers(0, n_cache, (n_steps, bs)).astype(np.int32)
-    valid_all = np.ones((n_steps, bs), dtype=bool)
-    idxs_dev = jax.device_put(idxs_all)
-    valid_dev = jax.device_put(valid_all)
+    idxs_all = np_rng.integers(0, n_cache, (n_steps_long, bs)).astype(np.int32)
+    valid_all = np.ones((n_steps_long, bs), dtype=bool)
     step_rng = jax.random.PRNGKey(1)
+    idxs_short = jax.device_put(idxs_all[:n_steps])
+    valid_short = jax.device_put(valid_all[:n_steps])
 
     # XLA cost analysis counts the lax.scan body once, so take the FLOPs
     # of ONE cached train step and scale by the scan length
     flops_step = _compiled_flops(
         train_step_cached.lower(
-            state, cache, idxs_dev[0], valid_dev[0], step_rng, {}
+            state, cache, idxs_short[0], valid_short[0], step_rng, {}
         ).compile()
     )
-    flops = flops_step * n_steps if flops_step else None
 
-    # warmup (compile + first run); state is donated so chain it through
-    state, logs = train_epoch_cached(
-        state, cache, idxs_dev, valid_dev, step_rng, {}
-    )
-    np.asarray(logs["total_loss"])
-
-    elapsed = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        state, logs = train_epoch_cached(
-            state, cache, idxs_dev, valid_dev, step_rng, {}
+    def run_scan(state, idxs, valid):
+        """best-of-2 timed executions of one scanned program."""
+        state, logs = train_epoch_cached(  # warmup: compile + first run
+            state, cache, idxs, valid, step_rng, {}
         )
-        losses = np.asarray(logs["total_loss"])  # host sync
-        t1 = time.time()
-        assert losses.shape == (n_steps,) and np.isfinite(losses).all()
-        elapsed = min(elapsed, t1 - t0)
+        np.asarray(logs["total_loss"])
+        n = int(idxs.shape[0])
+        elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            state, logs = train_epoch_cached(
+                state, cache, idxs, valid, step_rng, {}
+            )
+            losses = np.asarray(logs["total_loss"])  # host sync
+            t1 = time.time()
+            assert losses.shape == (n,) and np.isfinite(losses).all()
+            elapsed = min(elapsed, t1 - t0)
+        return state, elapsed
 
-    steps_per_sec = n_steps / elapsed
+    state, t_short = run_scan(state, idxs_short, valid_short)
+    state, t_long = run_scan(
+        state, jax.device_put(idxs_all), jax.device_put(valid_all)
+    )
+
+    # two-point fit: steady-state step time = slope between the two scan
+    # lengths; the intercept is the fixed dispatch cost (tunnel RPC +
+    # donation round-trip), which is a rig artifact, not framework cost
+    d_steps = n_steps_long - n_steps
+    steady_sec_per_step = (t_long - t_short) / d_steps
+    if steady_sec_per_step <= 0:  # tunnel noise swamped the fit
+        steady_sec_per_step = t_long / n_steps_long
+    dispatch_ms = max(0.0, (t_short - n_steps * steady_sec_per_step) * 1000)
+    steps_per_sec = 1.0 / steady_sec_per_step
     mfu = None
-    if flops:
-        mfu = (flops / elapsed) / _device_peak_flops() * 100.0
+    if flops_step:
+        mfu = (
+            flops_step / steady_sec_per_step
+        ) / _device_peak_flops() * 100.0
     # BASELINE row 1: ~20 min for ~200 labeled frames on a T4 — the
     # reference default trains 300 epochs x ceil(160/16)=10 steps = 3000
     # steps in ~1200 s => ~2.5 steps/s equivalent
     t4_steps_per_sec = 3000 / 1200.0
     return {
         "steps_per_sec": steps_per_sec,
-        "ms_per_step": 1000.0 / steps_per_sec,
-        "sec": elapsed,
+        "ms_per_step": 1000.0 * steady_sec_per_step,
+        "sec": t_long,
+        "dispatch_overhead_ms": dispatch_ms,
+        "steps_per_sec_incl_dispatch": n_steps_long / t_long,
         "mfu_pct": mfu,
         "vs_t4_train": steps_per_sec / t4_steps_per_sec,
     }
@@ -491,7 +513,10 @@ def bench_train_semisup() -> dict:
     backbone = "resnet18" if smoke else "resnet50"
     bs = 2 if smoke else 16
     n_cache = 8 if smoke else 64
-    n_steps = 2 if smoke else 15  # scan length: amortize RPC, short compile
+    n_steps = 2 if smoke else 15
+    # second scan length for the two-point dispatch-overhead fit (see
+    # bench_train); 40 keeps the unlabeled-stack transfer bounded
+    n_steps_long = 3 if smoke else 40
     num_keypoints = 17
 
     cfg = load_config()
@@ -567,15 +592,15 @@ def bench_train_semisup() -> dict:
             )
         ),
     }
-    idxs_all = np_rng.integers(0, n_cache, (n_steps, bs)).astype(np.int32)
-    valid_all = np.ones((n_steps, bs), dtype=bool)
-    idxs_dev = jax.device_put(idxs_all)
-    valid_dev = jax.device_put(valid_all)
+    idxs_all = np_rng.integers(0, n_cache, (n_steps_long, bs)).astype(np.int32)
+    valid_all = np.ones((n_steps_long, bs), dtype=bool)
     step_rng = jax.random.PRNGKey(1)
 
     # one epoch's unlabeled windows, stacked (steps, ...) — exactly what the
     # trainer's epoch-prefetch ships (trainer.py:1076-1089)
-    windows = [next(data_module.unlabeled_loader) for _ in range(n_steps)]
+    windows = [
+        next(data_module.unlabeled_loader) for _ in range(n_steps_long)
+    ]
     unlabeled_host = {
         k: np.stack([np.asarray(w[k]) for w in windows]) for k in windows[0]
     }
@@ -593,46 +618,64 @@ def bench_train_semisup() -> dict:
         np.asarray(jax.tree_util.tree_leaves(unlabeled_all)[0][0, 0])  # sync
         transfer_sec = min(transfer_sec, time.time() - t0)
 
+    idxs_dev = jax.device_put(idxs_all)
+    valid_dev = jax.device_put(valid_all)
+    unlabeled_short = {k: v[:n_steps] for k, v in unlabeled_all.items()}
     flops_step = _compiled_flops(
         train_step_cached.lower(
             state, cache, idxs_dev[0], valid_dev[0], step_rng,
             {k: v[0] for k, v in unlabeled_all.items()},
         ).compile()
     )
-    flops = flops_step * n_steps if flops_step else None
 
-    # warmup (compile + first run); state is donated so chain it through
-    state, logs = train_epoch_cached(
-        state, cache, idxs_dev, valid_dev, step_rng, unlabeled_all
-    )
-    np.asarray(logs["total_loss"])
-
-    elapsed = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        state, logs = train_epoch_cached(
-            state, cache, idxs_dev, valid_dev, step_rng, unlabeled_all
+    def run_scan(state, idxs, valid, ul):
+        state, logs = train_epoch_cached(  # warmup: compile + first run
+            state, cache, idxs, valid, step_rng, ul
         )
-        losses = np.asarray(logs["total_loss"])  # host sync
-        t1 = time.time()
-        assert losses.shape == (n_steps,) and np.isfinite(losses).all()
-        ul_loss = np.asarray(logs["train_unsupervised_loss"])
-        assert np.isfinite(ul_loss).all()
-        elapsed = min(elapsed, t1 - t0)
+        np.asarray(logs["total_loss"])
+        n = int(idxs.shape[0])
+        elapsed = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            state, logs = train_epoch_cached(
+                state, cache, idxs, valid, step_rng, ul
+            )
+            losses = np.asarray(logs["total_loss"])  # host sync
+            t1 = time.time()
+            assert losses.shape == (n,) and np.isfinite(losses).all()
+            assert np.isfinite(np.asarray(logs["train_unsupervised_loss"])).all()
+            elapsed = min(elapsed, t1 - t0)
+        return state, elapsed
 
-    steps_per_sec = n_steps / elapsed
+    state, t_short = run_scan(
+        state, idxs_dev[:n_steps], valid_dev[:n_steps], unlabeled_short
+    )
+    state, t_long = run_scan(state, idxs_dev, valid_dev, unlabeled_all)
+
+    # two-point fit (see bench_train): slope = steady-state step time,
+    # intercept = fixed tunnel dispatch cost
+    d_steps = n_steps_long - n_steps
+    steady_sec_per_step = (t_long - t_short) / d_steps
+    if steady_sec_per_step <= 0:
+        steady_sec_per_step = t_long / n_steps_long
+    dispatch_ms = max(0.0, (t_short - n_steps * steady_sec_per_step) * 1000)
+    steps_per_sec = 1.0 / steady_sec_per_step
     mfu = None
-    if flops:
-        mfu = (flops / elapsed) / _device_peak_flops() * 100.0
+    if flops_step:
+        mfu = (
+            flops_step / steady_sec_per_step
+        ) / _device_peak_flops() * 100.0
     t4_steps_per_sec = 3000 / 1200.0  # see bench_train
     return {
         "steps_per_sec": steps_per_sec,
-        "ms_per_step": 1000.0 / steps_per_sec,
-        "sec": elapsed,
+        "ms_per_step": 1000.0 * steady_sec_per_step,
+        "sec": t_long,
+        "dispatch_overhead_ms": dispatch_ms,
+        "steps_per_sec_incl_dispatch": n_steps_long / t_long,
         "mfu_pct": mfu,
         "vs_t4_train": steps_per_sec / t4_steps_per_sec,
-        "unlabeled_transfer_ms_per_step": 1000.0 * transfer_sec / n_steps,
-        "unlabeled_mb_per_step": ul_bytes / n_steps / 1e6,
+        "unlabeled_transfer_ms_per_step": 1000.0 * transfer_sec / n_steps_long,
+        "unlabeled_mb_per_step": ul_bytes / n_steps_long / 1e6,
     }
 
 
@@ -737,6 +780,7 @@ def _run_measurement(mode: str) -> None:
             "vs_baseline": round(r["vs_t4_train"], 2),
             "ms_per_step": round(r["ms_per_step"], 1),
             "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+            "dispatch_overhead_ms": round(r["dispatch_overhead_ms"], 1),
         }
     elif mode == "train-semisup":
         r = bench_train_semisup()
@@ -747,6 +791,7 @@ def _run_measurement(mode: str) -> None:
             "vs_baseline": round(r["vs_t4_train"], 2),
             "ms_per_step": round(r["ms_per_step"], 1),
             "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+            "dispatch_overhead_ms": round(r["dispatch_overhead_ms"], 1),
             "unlabeled_transfer_ms_per_step": round(
                 r["unlabeled_transfer_ms_per_step"], 1
             ),
@@ -917,6 +962,7 @@ def main() -> None:
             out["train_steps_per_sec"] = r["value"]
             out["train_ms_per_step"] = r.get("ms_per_step")
             out["train_mfu_pct"] = r.get("mfu_pct")
+            out["train_dispatch_overhead_ms"] = r.get("dispatch_overhead_ms")
             out["train_vs_t4_20min_baseline"] = r.get("vs_baseline")
         elif mode == "train-semisup":
             out["train_semisup_steps_per_sec"] = r["value"]

@@ -1058,6 +1058,26 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
 
     max_train_steps = int(sched_cfg["max_steps"])
 
+    def _flush_scanned_logs(logs_stack, base_step, ep, n_steps):
+        logs_np = {k: np.asarray(v) for k, v in logs_stack.items()}
+        for s in range(n_steps):
+            gs = base_step + s + 1
+            if gs % log_every == 0:
+                for k, v in logs_np.items():
+                    writer.add_scalar(k, float(v[s]), gs)
+                writer.add_scalar("lr-head", float(head_sched(gs)), gs)
+                writer.add_scalar("lr-backbone", float(bb_sched(gs)), gs)
+                writer.add_scalar("epoch", ep, gs)
+
+    # scanned-epoch log stacks are materialized ONE EPOCH LATE: np.asarray
+    # on the stack blocks until that epoch's program finishes on device, so
+    # flushing epoch e's logs only after epoch e+1 is dispatched lets the
+    # host decode + ship epoch e+1's unlabeled windows while the device is
+    # still executing epoch e (the semisup pipeline was otherwise
+    # serialized by this sync: decode + ~MB-scale transfer sat between
+    # every pair of epochs).
+    pending_logs = None
+
     for epoch in range(start_epoch, max_epochs):
         # in step mode the final epoch may be partial (the reference's PL
         # Trainer stops exactly at max_steps)
@@ -1100,15 +1120,9 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
             )
             steps_done = len(pairs)
             if writer is not None:
-                logs_np = {k: np.asarray(v) for k, v in logs_stack.items()}
-                for s in range(steps_done):
-                    gs = global_step + s + 1
-                    if gs % log_every == 0:
-                        for k, v in logs_np.items():
-                            writer.add_scalar(k, float(v[s]), gs)
-                        writer.add_scalar("lr-head", float(head_sched(gs)), gs)
-                        writer.add_scalar("lr-backbone", float(bb_sched(gs)), gs)
-                        writer.add_scalar("epoch", epoch, gs)
+                if pending_logs is not None:
+                    _flush_scanned_logs(*pending_logs)
+                pending_logs = (logs_stack, global_step, epoch, steps_done)
             global_step += steps_done
             batch_iter = ()
         elif device_cache is not None:
@@ -1236,6 +1250,8 @@ def train(cfg, model_dir: str | Path | None = None, skip_evaluation: bool = Fals
     if profiler_on:
         jax.profiler.stop_trace()
     if writer is not None:
+        if pending_logs is not None:
+            _flush_scanned_logs(*pending_logs)
         writer.close()
     if hasattr(data_module, "close"):
         data_module.close()

@@ -220,7 +220,7 @@ def _per_head_eval(name: str, model_dir: Path) -> pd.DataFrame:
 
     m = Model.from_dir(model_dir)
     m._load()
-    cfg, module, state = m.config, m._module, m._state
+    cfg, module, state = m.config.cfg, m._module, m._state
     dataset = get_dataset(cfg, str(DATA_DIR))
     size = int(cfg.data.image_resize_dims.height)
     n = len(dataset)

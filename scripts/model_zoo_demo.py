@@ -142,6 +142,13 @@ def run_one(root: Path, name: str, resume: bool = False) -> dict:
             ])
         elif name == "multiview":
             data_dir = make_mv_data(root)
+            # the reference's published multiview recipe
+            # (reference scripts/configs/config_default_multiview.yaml:100-113):
+            # 300 epochs, milestones [150,200,250], patch masking ramped
+            # 0 -> 0.5 over epochs 40 -> 300. MODEL_ZOO_MV_EPOCHS scales the
+            # schedule proportionally for smoke runs.
+            mv_epochs = int(os.environ.get("MODEL_ZOO_MV_EPOCHS", "300"))
+            mv_miles = [mv_epochs // 2, mv_epochs * 2 // 3, mv_epochs * 5 // 6]
             cfg.apply_overrides(common + [
                 f"data.data_dir={data_dir}",
                 f"data.video_dir={data_dir}/videos",
@@ -152,6 +159,16 @@ def run_one(root: Path, name: str, resume: bool = False) -> dict:
                 "data.mirrored_column_matches=[0,1,2,3,4,5,6]",
                 "data.columns_for_singleview_pca=null",
                 "training.imgaug=dlc-mv",
+                f"training.max_epochs={mv_epochs}",
+                f"training.min_epochs={mv_epochs}",
+                "training.lr_scheduler_params.multisteplr.milestones="
+                f"[{mv_miles[0]},{mv_miles[1]},{mv_miles[2]}]",
+                f"training.check_val_every_n_epoch="
+                f"{max(1, min(20, mv_epochs // 5))}",
+                f"training.patch_mask.init_epoch={mv_epochs * 40 // 300}",
+                f"training.patch_mask.final_epoch={mv_epochs}",
+                "training.patch_mask.init_ratio=0.0",
+                "training.patch_mask.final_ratio=0.5",
                 "model.backbone="
                 + os.environ.get("MODEL_ZOO_MV_BACKBONE", "vits_dino"),
                 "model.model_type=heatmap_multiview",

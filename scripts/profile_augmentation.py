@@ -67,6 +67,9 @@ ablations = [
     ("+ motion blur", ("affine", "croppad", "elastic", "motion_blur")),
     ("+ coarse noise", ("affine", "croppad", "elastic", "motion_blur",
                         "coarse_dropout", "coarse_salt", "coarse_pepper")),
+    ("motion blur only", ("motion_blur",)),
+    ("coarse dropout only", ("coarse_dropout",)),
+    ("coarse salt+pepper only", ("coarse_salt", "coarse_pepper")),
     ("histeq only (sparse)", ("histeq",)),
     ("clahe only (sparse)", ("clahe",)),
     ("emboss only", ("emboss",)),

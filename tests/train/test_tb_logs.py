@@ -117,6 +117,38 @@ def test_train_duration_steps_in_tb_logs(cfg, tmp_path):
 
 
 @pytest.mark.slow
+def test_scanned_epochs_log_every_step(cfg, tmp_path):
+    """The scanned-epoch path materializes each epoch's log stack ONE epoch
+    late (so host decode/transfer overlaps device compute) with a final
+    flush after the loop — the TB record must still contain exactly
+    max_epochs * steps_per_epoch steps with correct epoch tags."""
+    from lightning_pose_tpu.train import train
+
+    c = cfg.copy()
+    c.training.max_epochs = 3
+    c.training.min_epochs = 3
+    c.training.unfreezing_epoch = 0
+    c.training.check_val_every_n_epoch = 10
+    c.training.train_batch_size = 4
+    c.training.train_frames = 8  # -> 2 steps/epoch
+    c.training.log_every_n_steps = 1
+    c.training.imgaug = "default"
+    c.training.scan_epochs = True
+    c.training.lr_scheduler_params.multisteplr.milestones = [2]
+    c.model.model_name = "tb-scanlog-test"
+    c.eval.predict_vids_after_training = False
+    train(c, model_dir=tmp_path, skip_evaluation=True)
+
+    scalars = read_tb_scalars(str(tmp_path / "tb_logs" / "tb-scanlog-test"))
+    steps = [s for s, _ in scalars["lr-head"]]
+    assert steps == list(range(1, 7))  # 3 epochs x 2 steps, final flushed
+    epochs = dict(scalars["epoch"])
+    assert epochs[2] == 0 and epochs[4] == 1 and epochs[6] == 2
+    loss_tags = [k for k in scalars if k.endswith("supervised_loss")]
+    assert loss_tags and len(scalars[loss_tags[0]]) == 6
+
+
+@pytest.mark.slow
 def test_early_stopping_halts_before_max_epochs(cfg, tmp_path):
     """With a divergent LR the val loss never improves after the first
     check; early stopping halts after `patience` bad val checks
