@@ -24,6 +24,13 @@ import tempfile
 import time
 from pathlib import Path
 
+if os.environ.get("LP_BENCH_CPU"):
+    # dev-smoke knob: the axon TPU plugin overrides the JAX_PLATFORMS env
+    # var, so only the in-process config update reliably forces CPU here
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 VIDEO = "/root/reference/data/mirror-mouse-example/videos/test_vid.mp4"
 DATA_DIR = "/root/reference/data/mirror-mouse-example"
 T4_FPS_BASELINE = 469 / 165.2  # reference mixed_precision.rst:268-279
@@ -443,6 +450,12 @@ def bench_train() -> dict:
         return state, elapsed
 
     state, t_short = run_scan(state, idxs_short, valid_short)
+    # salvage line: if the long-scan program (or its compile) dies to a
+    # tunnel hang, the watchdog recovers this dispatch-inclusive short-scan
+    # number from the killed child's partial stdout
+    print(json.dumps(_fmt_train(_short_scan_result(
+        n_steps, t_short, flops_step
+    ))), flush=True)
     state, t_long = run_scan(
         state, jax.device_put(idxs_all), jax.device_put(valid_all)
     )
@@ -650,6 +663,12 @@ def bench_train_semisup() -> dict:
     state, t_short = run_scan(
         state, idxs_dev[:n_steps], valid_dev[:n_steps], unlabeled_short
     )
+    # salvage line (see bench_train): recoverable if the long scan dies
+    print(json.dumps(_fmt_train_semisup(_short_scan_result(
+        n_steps, t_short, flops_step,
+        unlabeled_transfer_ms_per_step=1000.0 * transfer_sec / n_steps_long,
+        unlabeled_mb_per_step=ul_bytes / n_steps_long / 1e6,
+    ))), flush=True)
     state, t_long = run_scan(state, idxs_dev, valid_dev, unlabeled_all)
 
     # two-point fit (see bench_train): slope = steady-state step time,
@@ -772,31 +791,9 @@ def _run_measurement(mode: str) -> None:
             "vs_baseline": round(r["fps"] / (938 / 330.2), 2),
         }
     elif mode == "train":
-        r = bench_train()
-        out = {
-            "metric": "train_steps_per_sec_resnet50_heatmap_bs16",
-            "value": round(r["steps_per_sec"], 3),
-            "unit": "steps/sec",
-            "vs_baseline": round(r["vs_t4_train"], 2),
-            "ms_per_step": round(r["ms_per_step"], 1),
-            "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
-            "dispatch_overhead_ms": round(r["dispatch_overhead_ms"], 1),
-        }
+        out = _fmt_train(bench_train())
     elif mode == "train-semisup":
-        r = bench_train_semisup()
-        out = {
-            "metric": "train_semisup_steps_per_sec_resnet50_heatmap_bs16",
-            "value": round(r["steps_per_sec"], 3),
-            "unit": "steps/sec",
-            "vs_baseline": round(r["vs_t4_train"], 2),
-            "ms_per_step": round(r["ms_per_step"], 1),
-            "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
-            "dispatch_overhead_ms": round(r["dispatch_overhead_ms"], 1),
-            "unlabeled_transfer_ms_per_step": round(
-                r["unlabeled_transfer_ms_per_step"], 1
-            ),
-            "unlabeled_mb_per_step": round(r["unlabeled_mb_per_step"], 2),
-        }
+        out = _fmt_train_semisup(bench_train_semisup())
     else:
         r = bench_product()
         out = {
@@ -808,6 +805,53 @@ def _run_measurement(mode: str) -> None:
     print(json.dumps(out))
 
 
+def _short_scan_result(n_steps: int, t_short: float, flops_step,
+                       **extra) -> dict:
+    """Dispatch-inclusive result from the short scan alone — printed as a
+    salvage line before the long scan runs (two-point fit pending)."""
+    sps = n_steps / t_short
+    r = {
+        "steps_per_sec": sps,
+        "ms_per_step": 1000.0 / sps,
+        "sec": t_short,
+        "dispatch_overhead_ms": 0.0,
+        "steps_per_sec_incl_dispatch": sps,
+        "mfu_pct": (
+            (flops_step * n_steps / t_short) / _device_peak_flops() * 100.0
+            if flops_step else None
+        ),
+        "vs_t4_train": sps / (3000 / 1200.0),
+        "partial": True,
+    }
+    r.update(extra)
+    return r
+
+
+def _fmt_train(r: dict) -> dict:
+    out = {
+        "metric": "train_steps_per_sec_resnet50_heatmap_bs16",
+        "value": round(r["steps_per_sec"], 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(r["vs_t4_train"], 2),
+        "ms_per_step": round(r["ms_per_step"], 1),
+        "mfu_pct": round(r["mfu_pct"], 2) if r["mfu_pct"] else None,
+        "dispatch_overhead_ms": round(r["dispatch_overhead_ms"], 1),
+    }
+    if r.get("partial"):
+        out["partial"] = True
+    return out
+
+
+def _fmt_train_semisup(r: dict) -> dict:
+    out = _fmt_train(r)
+    out["metric"] = "train_semisup_steps_per_sec_resnet50_heatmap_bs16"
+    out["unlabeled_transfer_ms_per_step"] = round(
+        r["unlabeled_transfer_ms_per_step"], 1
+    )
+    out["unlabeled_mb_per_step"] = round(r["unlabeled_mb_per_step"], 2)
+    return out
+
+
 def _preflight(timeout: int = 180, retries: int = 3, wait_s: int = 120) -> bool:
     """Cheap device liveness check before committing to the long watchdog
     timeouts: init jax + one tiny matmul in a subprocess. The remote-device
@@ -816,7 +860,9 @@ def _preflight(timeout: int = 180, retries: int = 3, wait_s: int = 120) -> bool:
     import subprocess
 
     code = (
-        "import jax, numpy as np, jax.numpy as jnp;"
+        "import os, jax, numpy as np, jax.numpy as jnp;"
+        "os.environ.get('LP_BENCH_CPU') and "
+        "jax.config.update('jax_platforms', 'cpu');"
         "x = jnp.ones((128, 128), jnp.bfloat16);"
         "print('PREFLIGHT_OK', float(np.asarray(x @ x)[0, 0]))"
     )
@@ -865,22 +911,46 @@ def _watchdog(
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=attempt_timeout
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # the measurement prints a salvage JSON line after its first
+            # completed timing (e.g. the short scan) — recover it rather
+            # than discarding a partially-successful attempt
+            partial = _last_json_line(e.stdout)
+            if partial is not None:
+                print(
+                    f"{mode} attempt {attempt + 1}: timed out; salvaged "
+                    f"partial result", file=sys.stderr,
+                )
+                return partial
             print(
                 f"{mode} attempt {attempt + 1}: timed out (tunnel hang?)",
                 file=sys.stderr,
             )
             continue
-        json_lines = [
-            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
-        ]
-        if proc.returncode == 0 and json_lines:
-            return json.loads(json_lines[-1])
+        result = _last_json_line(proc.stdout)
+        if proc.returncode == 0 and result is not None:
+            return result
         print(
             f"{mode} attempt {attempt + 1}: rc={proc.returncode} "
             f"{proc.stderr[-500:]}",
             file=sys.stderr,
         )
+        if result is not None:  # crashed after printing a salvage line
+            return result
+    return None
+
+
+def _last_json_line(stdout) -> dict | None:
+    if stdout is None:
+        return None
+    if isinstance(stdout, bytes):  # TimeoutExpired carries raw bytes
+        stdout = stdout.decode(errors="replace")
+    json_lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+    for ln in reversed(json_lines):  # last complete line wins
+        try:
+            return json.loads(ln)
+        except json.JSONDecodeError:  # killed mid-write
+            continue
     return None
 
 
@@ -980,6 +1050,8 @@ def main() -> None:
         elif mode == "vit":
             out["vit_device_fps"] = r["value"]
             out["vit_device_mfu_pct"] = r.get("mfu_pct")
+        if r.get("partial"):
+            out[mode.replace("-", "_") + "_partial"] = True
 
     # highest-value measurements first (headline product fps, then the two
     # training numbers); once any mode times out through all its retries,

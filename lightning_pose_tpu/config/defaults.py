@@ -57,6 +57,11 @@ _DEFAULTS: dict = {
         "heatmap_loss_type": "mse",
         "model_name": "test",
         "checkpoint": None,
+        # mhcrnn context source: "adjacent" (reference parity —
+        # index-adjacent files) or "repeat_center" (for datasets whose
+        # labeled frames are sparse video samples, where index neighbors
+        # are not temporal neighbors; see docs/architecture.md)
+        "mhcrnn_context_mode": "adjacent",
     },
     "dali": {
         "base": {

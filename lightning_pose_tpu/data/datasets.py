@@ -81,11 +81,18 @@ class BaseTrackingDataset:
         imgaug_hflip: bool = False,
         cache_images: bool = True,
         uniform_heatmaps_for_nan_keypoints: bool = False,
+        context_mode: str = "adjacent",
     ) -> None:
         self.root_directory = Path(root_directory)
         self.image_resize_height = int(image_resize_height)
         self.image_resize_width = int(image_resize_width)
         self.do_context = do_context
+        if context_mode not in ("adjacent", "repeat_center"):
+            raise ValueError(
+                f"context_mode must be 'adjacent' or 'repeat_center', got "
+                f"{context_mode!r}"
+            )
+        self.context_mode = context_mode
         self.imgaug_pipeline = imgaug_pipeline
         self.imgaug_hflip = imgaug_hflip
         self.cache_images = cache_images
@@ -180,9 +187,20 @@ class BaseTrackingDataset:
         All five frames crop through the CENTER frame's bbox (when a
         bbox_file is configured) so the temporal stack stays registered
         with the labels (the reference crops each context frame through
-        the same per-frame bbox)."""
+        the same per-frame bbox).
+
+        `context_mode="repeat_center"` stacks 5 copies of the center frame
+        instead of index-adjacent files: on datasets whose labeled frames
+        are sparse video samples (not temporal neighbors), index adjacency
+        feeds the multi-frame head uncorrelated frames at train time and
+        degrades it (measured on mirror-mouse: labeled-adjacent |absdiff|
+        2.26x the true video-adjacent value; see
+        scripts/mhcrnn_controlled.py and docs/architecture.md)."""
         center = self.root_directory / self.image_names[idx]
-        paths = io_utils.get_context_img_paths(center)
+        if self.context_mode == "repeat_center":
+            paths = [center] * 5
+        else:
+            paths = io_utils.get_context_img_paths(center)
         frames = []
         for p in paths:
             if p.exists():

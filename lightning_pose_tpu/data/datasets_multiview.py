@@ -62,6 +62,7 @@ class MultiviewHeatmapDataset:
                 downsample_factor=int(cfg.data.get("downsample_factor", 2)),
                 bbox_path=bbox_files[i] if bbox_files else None,
                 do_context=do_context,
+                context_mode=cfg.model.get("mhcrnn_context_mode", "adjacent"),
             )
 
         # cross-view consistency checks (reference datasets.py:600-670)

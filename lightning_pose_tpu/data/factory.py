@@ -94,6 +94,10 @@ def get_dataset(cfg, data_dir: str, imgaug_pipeline=None):
         return HeatmapDataset(
             do_context=True,
             downsample_factor=int(cfg.data.get("downsample_factor", 2)),
+            # "repeat_center" for datasets whose labeled frames are sparse
+            # video samples, where index-adjacent files are not temporal
+            # neighbors (see docs/architecture.md, mhcrnn root-cause)
+            context_mode=cfg.model.get("mhcrnn_context_mode", "adjacent"),
             **common,
         )
     if model_type == "heatmap_multiview":

@@ -105,18 +105,14 @@ def overrides(name: str, epochs: int) -> list[str]:
         f"model.model_type={model_type}",
         f"model.model_name={name}",
         "eval.predict_vids_after_training=false",
-    ]
-
-
-def _patch_repeat_center() -> None:
-    """Make every context stack 5 copies of the center frame (diagnostic
-    arm isolating the temporally-distant-context hypothesis)."""
-    from lightning_pose_tpu.utils import io as io_utils
-
-    def repeat_center(center_img_path):
-        return [Path(center_img_path)] * 5
-
-    io_utils.get_context_img_paths = repeat_center
+    ] + (
+        # the product knob this harness motivated (data/datasets.py
+        # _load_context): stack 5 copies of the center frame instead of
+        # index-adjacent files
+        ["model.mhcrnn_context_mode=repeat_center"]
+        if name == "mhcrnn-repeat"
+        else []
+    )
 
 
 def _force_cpu_if_requested() -> None:
@@ -132,8 +128,6 @@ def _train_child(name: str, model_dir: Path, resume: bool) -> None:
     _force_cpu_if_requested()
     jax.config.update("jax_compilation_cache_dir", "/tmp/lp_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if name == "mhcrnn-repeat":
-        _patch_repeat_center()
     from lightning_pose_tpu.config import load_config
     from lightning_pose_tpu.train import train
 
@@ -208,8 +202,6 @@ def _per_head_eval(name: str, model_dir: Path) -> pd.DataFrame:
     import jax
     import jax.numpy as jnp
 
-    if name == "mhcrnn-repeat":
-        _patch_repeat_center()
     from lightning_pose_tpu.api.model import Model
     from lightning_pose_tpu.data import bboxes as bboxes_mod
     from lightning_pose_tpu.data.factory import get_dataset
@@ -282,8 +274,6 @@ def _predict_labels(name: str, model_dir: Path) -> None:
     if (model_dir / "predictions_pixel_error.csv").exists():
         return
     _force_cpu_if_requested()
-    if name == "mhcrnn-repeat":
-        _patch_repeat_center()
     from lightning_pose_tpu.api.model import Model
 
     m = Model.from_dir(model_dir)

@@ -177,6 +177,37 @@ def test_context_edge_frames_repeat(tmp_path):
     assert not np.array_equal(stack[3], center)
 
 
+def test_context_mode_repeat_center(toy):
+    """`context_mode="repeat_center"` stacks 5 copies of the center frame
+    regardless of which neighbor files exist (the product knob for
+    datasets whose labeled frames are sparse video samples; motivated by
+    scripts/mhcrnn_controlled.py — see docs/architecture.md)."""
+    ds = HeatmapDataset(
+        root_directory=toy, csv_path="CollectedData.csv",
+        image_resize_height=128, image_resize_width=128, do_context=True,
+        context_mode="repeat_center",
+    )
+    stack = ds[10]["images"]
+    assert stack.shape == (5, 128, 128, 3)
+    for t in range(5):
+        np.testing.assert_array_equal(stack[t], stack[2])
+    # the stock mode loads genuinely different neighbors for this frame
+    adj = HeatmapDataset(
+        root_directory=toy, csv_path="CollectedData.csv",
+        image_resize_height=128, image_resize_width=128, do_context=True,
+    )
+    assert not np.array_equal(adj[10]["images"][0], adj[10]["images"][2])
+
+
+def test_context_mode_invalid_raises(toy):
+    with pytest.raises(ValueError, match="context_mode"):
+        HeatmapDataset(
+            root_directory=toy, csv_path="CollectedData.csv",
+            image_resize_height=128, image_resize_width=128, do_context=True,
+            context_mode="nearest",
+        )
+
+
 # -- multiview dataset contracts ----------------------------------------------
 
 
