@@ -899,13 +899,14 @@ def _watchdog(
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--child", f"--{mode}"]
+    salvaged: dict | None = None
     for attempt in range(retries):
         attempt_timeout = timeout
         if deadline is not None:
             remaining = deadline - time.time()
             if remaining < 120:
                 print(f"{mode}: skipped (budget exhausted)", file=sys.stderr)
-                return None
+                return salvaged
             attempt_timeout = min(timeout, int(remaining))
         try:
             proc = subprocess.run(
@@ -913,19 +914,23 @@ def _watchdog(
             )
         except subprocess.TimeoutExpired as e:
             # the measurement prints a salvage JSON line after its first
-            # completed timing (e.g. the short scan) — recover it rather
-            # than discarding a partially-successful attempt
+            # completed timing (e.g. the short scan). Stash it but keep
+            # retrying: the persistent compile cache makes a retry likely
+            # to finish the FULL (two-point-fit) measurement, which beats
+            # recording the dispatch-inclusive partial methodology.
             partial = _last_json_line(e.stdout)
             if partial is not None:
+                salvaged = partial
                 print(
                     f"{mode} attempt {attempt + 1}: timed out; salvaged "
-                    f"partial result", file=sys.stderr,
+                    f"partial result (retrying for the full measurement)",
+                    file=sys.stderr,
                 )
-                return partial
-            print(
-                f"{mode} attempt {attempt + 1}: timed out (tunnel hang?)",
-                file=sys.stderr,
-            )
+            else:
+                print(
+                    f"{mode} attempt {attempt + 1}: timed out (tunnel hang?)",
+                    file=sys.stderr,
+                )
             continue
         result = _last_json_line(proc.stdout)
         if proc.returncode == 0 and result is not None:
@@ -936,8 +941,8 @@ def _watchdog(
             file=sys.stderr,
         )
         if result is not None:  # crashed after printing a salvage line
-            return result
-    return None
+            salvaged = result
+    return salvaged
 
 
 def _last_json_line(stdout) -> dict | None:
@@ -1074,6 +1079,10 @@ def main() -> None:
             degraded = True
             if out["value"] == 0.0 and mode == "product":
                 out["error"] = "product measurement failed"
+        elif r.get("partial"):
+            # exhausted retries and only the salvage line landed — the
+            # tunnel is struggling; don't burn full retries on later modes
+            degraded = True
         merge(mode, r)
         # flush the merged-so-far line: if the driver kills us after this
         # point, the tail's last JSON line still carries this measurement

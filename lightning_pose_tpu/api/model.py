@@ -392,6 +392,9 @@ class Model:
             image_resize_width=cfg.data.image_resize_dims.width,
             imgaug_pipeline="default",
             do_context=(cfg.model.model_type == "heatmap_mhcrnn"),
+            # honor the trained context source (train/eval consistency for
+            # models trained with mhcrnn_context_mode=repeat_center)
+            context_mode=cfg.model.get("mhcrnn_context_mode", "adjacent"),
             downsample_factor=int(cfg.data.get("downsample_factor", 2)),
             bbox_path=str(bbox_file) if bbox_file else None,
         )

@@ -198,9 +198,11 @@ class BaseTrackingDataset:
         scripts/mhcrnn_controlled.py and docs/architecture.md)."""
         center = self.root_directory / self.image_names[idx]
         if self.context_mode == "repeat_center":
-            paths = [center] * 5
-        else:
-            paths = io_utils.get_context_img_paths(center)
+            # the stack is 5 copies of the (bbox-cropped, resized) center —
+            # reuse the per-frame cache instead of decoding 5 times
+            resized, _ = self._load_resized(idx)
+            return np.repeat(resized[None], 5, axis=0)
+        paths = io_utils.get_context_img_paths(center)
         frames = []
         for p in paths:
             if p.exists():

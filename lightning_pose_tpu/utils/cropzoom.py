@@ -164,7 +164,10 @@ def crop_video(
 ) -> None:
     """Crop a video to per-frame bboxes (cv2; reference cropzoom.py:405 uses
     moviepy)."""
-    boxes = pd.read_csv(input_bbox_file, index_col=0).to_numpy(dtype=np.int64)
+    boxes_df = pd.read_csv(input_bbox_file, index_col=0)
+    # access columns by NAME (not position) so a CSV ordered x,y,w,h — a
+    # common external convention — can't silently swap height and width
+    boxes = boxes_df[["x", "y", "h", "w"]].to_numpy(dtype=np.int64)
     Path(output_file).parent.mkdir(parents=True, exist_ok=True)
     cap = cv2.VideoCapture(str(input_video_file))
     fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
@@ -265,6 +268,11 @@ def generate_cropped_csv_file(
         pd.read_csv(input_csv_file, header=[0, 1, 2], index_col=0)
     )
     corners = pd.read_csv(input_bbox_file, index_col=0)
+    # align bbox rows to the label rows by frame index, NOT by position —
+    # a re-sorted or regenerated bbox file must still shift each frame by
+    # its own corner (the reference's per-column pandas subtraction aligns
+    # on index; frames without a bbox row become NaN there too)
+    corners = corners.reindex(labels.index)
     sign = -1.0 if mode == "subtract" else 1.0
     for axis in ("x", "y"):
         axis_cols = labels.columns.get_level_values(-1) == axis

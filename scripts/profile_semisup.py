@@ -200,7 +200,7 @@ def main():
           lambda: scan_decode_aug(rng, unlabeled["frames"]))
 
     # forward + decode, no grad
-    seq = frames0.shape[0] if not is_i420 else frames0.shape[0]
+    seq = frames0.shape[0]
     images = jnp.zeros(
         (N_SCAN, seq, SIZE, SIZE, 3), dtype=jnp.float32)
 

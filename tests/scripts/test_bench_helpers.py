@@ -68,6 +68,49 @@ def test_short_scan_result_shape(bench):
     assert out["metric"] == "train_steps_per_sec_resnet50_heatmap_bs16"
 
 
+def test_watchdog_retries_past_salvage_for_full_result(bench, monkeypatch):
+    """A timeout that yields a salvage line must NOT short-circuit the
+    retry loop: a warm-cache retry can complete the full two-point-fit
+    measurement, which beats recording the partial methodology."""
+    import subprocess
+
+    calls = {"n": 0}
+
+    def fake_run(cmd, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise subprocess.TimeoutExpired(
+                cmd, kw.get("timeout"),
+                output=b'{"value": 1.0, "partial": true}\n',
+            )
+
+        class P:
+            returncode = 0
+            stdout = '{"value": 2.0}\n'
+            stderr = ""
+
+        return P()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    r = bench._watchdog("train", timeout=5, retries=2)
+    assert calls["n"] == 2
+    assert r == {"value": 2.0}  # the full second-attempt result wins
+
+
+def test_watchdog_returns_salvage_when_retries_exhaust(bench, monkeypatch):
+    import subprocess
+
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(
+            cmd, kw.get("timeout"),
+            output=b'{"value": 1.0, "partial": true}\n',
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    r = bench._watchdog("train", timeout=5, retries=2)
+    assert r == {"value": 1.0, "partial": True}
+
+
 def test_fmt_train_semisup_carries_transfer_fields(bench):
     r = bench._short_scan_result(
         10, 1.0, flops_step=None,

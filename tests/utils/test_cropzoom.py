@@ -338,6 +338,35 @@ def test_generate_cropped_csv_roundtrip(tmp_path):
     )
 
 
+def test_generate_cropped_csv_aligns_by_index(tmp_path):
+    """A bbox CSV whose rows are in a different order than the labels CSV
+    must still shift each frame by its OWN bbox corner (index-aligned, the
+    reference's pandas-subtraction semantics — not positional)."""
+    rel_paths = [f"labeled-data/s/img{i}.png" for i in range(4)]
+    cols = pd.MultiIndex.from_tuples(
+        [("s", "kp", "x"), ("s", "kp", "y")],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    labels = pd.DataFrame(
+        np.arange(8, dtype=float).reshape(4, 2),
+        index=pd.Index(rel_paths), columns=cols,
+    )
+    bbox = pd.DataFrame(
+        {"x": [10, 20, 30, 40], "y": [1, 2, 3, 4], "h": [10] * 4,
+         "w": [10] * 4},
+        index=pd.Index(rel_paths),
+    )
+    src, bb, out = tmp_path / "l.csv", tmp_path / "b.csv", tmp_path / "o.csv"
+    labels.to_csv(src)
+    bbox.iloc[::-1].to_csv(bb)  # reversed row order
+    cz.generate_cropped_csv_file(src, bb, out, mode="subtract")
+    got = pd.read_csv(out, header=[0, 1, 2], index_col=0)
+    expected = labels.copy()
+    expected[("s", "kp", "x")] -= bbox["x"].to_numpy()
+    expected[("s", "kp", "y")] -= bbox["y"].to_numpy()
+    np.testing.assert_allclose(got.to_numpy(), expected.to_numpy())
+
+
 def test_generate_cropped_csv_invalid_mode(tmp_path):
     with pytest.raises(ValueError, match="not a valid mode"):
         cz.generate_cropped_csv_file("a.csv", "b.csv", "c.csv", mode="multiply")
