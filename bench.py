@@ -852,7 +852,7 @@ def _fmt_train_semisup(r: dict) -> dict:
     return out
 
 
-def _preflight(timeout: int = 180, retries: int = 3, wait_s: int = 120) -> bool:
+def _preflight(timeout: int = 240, retries: int = 3, wait_s: int = 120) -> bool:
     """Cheap device liveness check before committing to the long watchdog
     timeouts: init jax + one tiny matmul in a subprocess. The remote-device
     tunnel can hang indefinitely; without this a dead tunnel burns every
