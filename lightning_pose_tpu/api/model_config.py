@@ -162,6 +162,13 @@ class ModelConfig:
                 f"model_type {cfg.model.model_type} not in {ALLOWED_MODEL_TYPES}"
             )
 
+        ctx_mode = cfg.model.get("mhcrnn_context_mode", "adjacent")
+        if ctx_mode not in ("adjacent", "repeat_center"):
+            raise InvalidConfig(
+                f"model.mhcrnn_context_mode must be 'adjacent' or "
+                f"'repeat_center', got {ctx_mode!r}"
+            )
+
         # multiview checks (reference model_config.py:243-268): warn on a
         # non-transformer model type; the 3D reprojection loss requires
         # dlc-style augmentation with the 3D geometric stage enabled

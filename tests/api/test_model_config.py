@@ -202,6 +202,15 @@ def test_milestone_equal_to_max_epochs_passes(cfg):
     ModelConfig(c).validate()
 
 
+def test_mhcrnn_context_mode_validated(cfg):
+    c = cfg.copy()
+    c.model.mhcrnn_context_mode = "repeat_center"
+    ModelConfig(c).validate()
+    c.model.mhcrnn_context_mode = "nearest"
+    with pytest.raises(InvalidConfig, match="mhcrnn_context_mode"):
+        ModelConfig(c).validate()
+
+
 def test_reprojection_null_log_weight_skips_imgaug_check(cfg):
     """An inactive reprojection loss (log_weight null or section absent)
     does not impose imgaug requirements (reference
