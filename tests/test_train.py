@@ -736,6 +736,31 @@ def test_train_mhcrnn(cfg, tmp_path):
         m.predict_frame(np.zeros((406, 396, 3), dtype=np.uint8))
 
 
+def test_train_mhcrnn_repeat_center_context(cfg, tmp_path):
+    """model.mhcrnn_context_mode=repeat_center end-to-end: trains, saves
+    the knob in config.yaml, and the eval dataset rebuilt from the saved
+    config stacks 5 copies of the center frame (the product knob for
+    sparse-labeled datasets; see docs/architecture.md mhcrnn root-cause)."""
+    from lightning_pose_tpu.train import train
+
+    c = _small_train_cfg(cfg, "mhcrnn-repeat-test")
+    c.model.model_type = "heatmap_mhcrnn"
+    c.model.mhcrnn_context_mode = "repeat_center"
+    c.training.train_batch_size = 2
+    train(c, model_dir=tmp_path, skip_evaluation=True)
+
+    from lightning_pose_tpu.config import load_config
+    from lightning_pose_tpu.data.factory import get_dataset
+
+    saved = load_config(str(tmp_path / "config.yaml"))
+    assert saved.model.mhcrnn_context_mode == "repeat_center"
+    ds = get_dataset(saved, str(saved.data.data_dir))
+    stack = ds[3]["images"]
+    assert stack.shape[0] == 5
+    for t in range(5):
+        np.testing.assert_array_equal(stack[t], stack[2])
+
+
 @pytest.mark.slow
 def test_train_semisupervised_pca_singleview_temporal(cfg, tmp_path):
     """Semi-supervised heatmap with the BASELINE loss combo
