@@ -197,6 +197,9 @@ class Model:
 
         is_heatmap = meta["model_type"].startswith("heatmap")
         is_context = meta["model_type"] == "heatmap_mhcrnn"
+        ctx_repeat = (
+            cfg.model.get("mhcrnn_context_mode", "adjacent") == "repeat_center"
+        )
         num_views = int(meta.get("num_views", 1) or 1)
 
         # decode dispatch: reference-parity soft-argmax (default) or the
@@ -256,11 +259,23 @@ class Model:
 
                 if num_views > 1:
                     if images.ndim == 5:  # (T, V, H, W, 3) multiview video
-                        images = make_context_windows(images).transpose(
+                        images = make_context_windows(
+                            images, repeat_center=ctx_repeat
+                        ).transpose(
                             0, 2, 1, 3, 4, 5
                         )  # -> (T-4, V, 5, H, W, 3)
+                    elif ctx_repeat and images.ndim == 6:
+                        # pre-windowed (B, V, 5, h, w, 3) user stacks:
+                        # normalize to repeated centers for train/inference
+                        # consistency (idempotent on dataset-built stacks)
+                        images = jnp.repeat(images[:, :, 2:3], 5, axis=2)
                 elif images.ndim == 4:
-                    images = make_context_windows(images)
+                    images = make_context_windows(
+                        images, repeat_center=ctx_repeat
+                    )
+                elif ctx_repeat and images.ndim == 5:
+                    # pre-windowed (B, 5, H, W, 3) stacks
+                    images = jnp.repeat(images[:, 2:3], 5, axis=1)
                 hm_sf, hm_mf = module.apply(vs, images, train=False)
                 kp_sf, conf_sf = decode_fn(hm_sf)
                 kp_mf, conf_mf = decode_fn(hm_mf)

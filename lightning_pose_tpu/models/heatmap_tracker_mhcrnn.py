@@ -24,11 +24,23 @@ from lightning_pose_tpu.ops.softargmax import run_subpixelmaxima
 __all__ = ["HeatmapTrackerMHCRNN", "make_context_windows", "merge_heads_by_confidence"]
 
 
-def make_context_windows(frames: jax.Array) -> jax.Array:
+def make_context_windows(
+    frames: jax.Array, repeat_center: bool = False
+) -> jax.Array:
     """Tile a ``(T, H, W, C)`` sequence into ``(T-4, 5, H, W, C)`` sliding
     windows (reference base.py:151-188 sequence tiling; edge frames are
-    dropped, matching the shift-by-2 fix downstream)."""
+    dropped, matching the shift-by-2 fix downstream).
+
+    ``repeat_center=True`` fills each window with 5 copies of its center
+    frame instead — train/inference consistency for models trained with
+    ``model.mhcrnn_context_mode=repeat_center`` (such a model's MF head
+    has never seen varying context; feeding it real temporal windows
+    measured 21.4 px test vs 4.25 px with repeated centers on
+    mirror-mouse — see docs/architecture.md)."""
     t = frames.shape[0]
+    if repeat_center:
+        centers = frames[2:t - 2]
+        return jnp.repeat(centers[:, None], 5, axis=1)
     windows = [frames[i:i + 5] for i in range(t - 4)]
     return jnp.stack(windows, axis=0)
 

@@ -216,6 +216,9 @@ def make_step_fns(
     out_shape = (height // (2**df), width // (2**df))
     is_heatmap = meta["model_type"].startswith("heatmap")
     is_context = meta["model_type"] == "heatmap_mhcrnn"
+    ctx_repeat = (
+        cfg.model.get("mhcrnn_context_mode", "adjacent") == "repeat_center"
+    )
     is_multiview = meta["model_type"] == "heatmap_multiview"
     num_views = int(meta.get("num_views", 1) or 1)
     uniform_nan = bool(cfg.training.get("uniform_heatmaps_for_nan_keypoints", False))
@@ -514,10 +517,14 @@ def make_step_fns(
                         # multiview unlabeled (T, V, H, W, 3): windows per
                         # view, then (T-4, V, 5, H, W, 3) — the model folds
                         # views into the batch (reference base.py:323-343)
-                        w5 = make_context_windows(ul_images)
+                        w5 = make_context_windows(
+                            ul_images, repeat_center=ctx_repeat
+                        )
                         ul_windows = w5.transpose(0, 2, 1, 3, 4, 5)
                     else:
-                        ul_windows = make_context_windows(ul_images)
+                        ul_windows = make_context_windows(
+                            ul_images, repeat_center=ctx_repeat
+                        )
                     (ul_sf, ul_mf), mutated = module.apply(
                         variables, ul_windows, train=True,
                         mutable=["batch_stats"],
@@ -608,11 +615,15 @@ def make_step_fns(
 
             if num_views > 1:
                 if images.ndim == 5:  # (T, V, H, W, 3) multiview sequence
-                    images = make_context_windows(images).transpose(
+                    images = make_context_windows(
+                        images, repeat_center=ctx_repeat
+                    ).transpose(
                         0, 2, 1, 3, 4, 5
                     )  # -> (T-4, V, 5, H, W, 3)
             elif images.ndim == 4:  # video sequence -> sliding windows
-                images = make_context_windows(images)
+                images = make_context_windows(
+                    images, repeat_center=ctx_repeat
+                )
             heatmaps_sf, heatmaps_mf = module.apply(variables, images, train=False)
             kp_sf, conf_sf = module.decode(heatmaps_sf, fast=True)
             kp_mf, conf_mf = module.decode(heatmaps_mf, fast=True)

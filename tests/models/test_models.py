@@ -121,6 +121,20 @@ def test_mhcrnn_tracker(rng_key):
     win = make_context_windows(seq)
     assert win.shape == (6, 5, 16, 16, 3)
 
+    # repeat_center: same window count/shape, every slot = the window's
+    # center frame (train/inference consistency for
+    # model.mhcrnn_context_mode=repeat_center)
+    seq = jnp.arange(10, dtype=jnp.float32)[:, None, None, None] * jnp.ones(
+        (10, 16, 16, 3)
+    )
+    win_r = make_context_windows(seq, repeat_center=True)
+    assert win_r.shape == (6, 5, 16, 16, 3)
+    for i in range(6):
+        for t in range(5):
+            np.testing.assert_array_equal(
+                np.asarray(win_r[i, t]), np.asarray(seq[i + 2])
+            )
+
     # confidence merge picks the higher-confidence head per keypoint
     kp_sf = jnp.asarray([[1.0, 1.0, 2.0, 2.0]])
     kp_mf = jnp.asarray([[5.0, 5.0, 6.0, 6.0]])

@@ -760,6 +760,25 @@ def test_train_mhcrnn_repeat_center_context(cfg, tmp_path):
     for t in range(5):
         np.testing.assert_array_equal(stack[t], stack[2])
 
+    # video inference consistency: sliding windows must also feed repeated
+    # centers (a repeat-trained MF head degrades on real temporal context:
+    # 21.4 vs 4.25 px test measured on mirror-mouse) — predictions depend
+    # ONLY on window centers, so scrambling pure-edge frames is a no-op
+    from lightning_pose_tpu.api.model import Model
+
+    m = Model.from_dir(tmp_path)
+    m._load()
+    h = int(saved.data.image_resize_dims.height)
+    w = int(saved.data.image_resize_dims.width)
+    rng = np.random.default_rng(0)
+    seq = rng.integers(0, 255, (8, h, w, 3), np.uint8)
+    bbox = np.tile(np.array([0, 0, 406, 396], np.float32), (8, 1))
+    kp1, _ = m._predict_fn(m._state, seq, bbox)
+    seq2 = seq.copy()
+    seq2[0] = seq2[7] = rng.integers(0, 255, (h, w, 3), np.uint8)
+    kp2, _ = m._predict_fn(m._state, seq2, bbox)
+    np.testing.assert_allclose(np.asarray(kp1), np.asarray(kp2))
+
 
 @pytest.mark.slow
 def test_train_semisupervised_pca_singleview_temporal(cfg, tmp_path):
