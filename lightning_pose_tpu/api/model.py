@@ -255,6 +255,7 @@ class Model:
                 from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
                     make_context_windows,
                     merge_heads_by_confidence,
+                    repeat_center_stack,
                 )
 
                 if num_views > 1:
@@ -268,14 +269,14 @@ class Model:
                         # pre-windowed (B, V, 5, h, w, 3) user stacks:
                         # normalize to repeated centers for train/inference
                         # consistency (idempotent on dataset-built stacks)
-                        images = jnp.repeat(images[:, :, 2:3], 5, axis=2)
+                        images = repeat_center_stack(images, time_axis=2)
                 elif images.ndim == 4:
                     images = make_context_windows(
                         images, repeat_center=ctx_repeat
                     )
                 elif ctx_repeat and images.ndim == 5:
                     # pre-windowed (B, 5, H, W, 3) stacks
-                    images = jnp.repeat(images[:, 2:3], 5, axis=1)
+                    images = repeat_center_stack(images, time_axis=1)
                 hm_sf, hm_mf = module.apply(vs, images, train=False)
                 kp_sf, conf_sf = decode_fn(hm_sf)
                 kp_mf, conf_mf = decode_fn(hm_mf)

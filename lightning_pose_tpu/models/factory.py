@@ -113,6 +113,13 @@ def get_model(
         kwargs["downsample_factor"] = downsample_factor
     if model_type == "heatmap_multiview":
         kwargs["num_views"] = len(cfg.data.get("view_names") or [])
+    if model_type == "heatmap_mhcrnn":
+        # repeat-center stacks are 5 copies of one frame — the tracker
+        # encodes the center once and tiles features (exact-equal outputs,
+        # ~5x fewer backbone FLOPs; see heatmap_tracker_mhcrnn.py)
+        kwargs["context_repeat"] = (
+            cfg.model.get("mhcrnn_context_mode", "adjacent") == "repeat_center"
+        )
 
     module = cls(**kwargs)
     # heatmap/mhcrnn trackers on multiview data fold views into the batch

@@ -21,7 +21,12 @@ from lightning_pose_tpu.models.backbones.factory import build_backbone
 from lightning_pose_tpu.models.heads.heatmap_mhcrnn import HeatmapMHCRNNHead
 from lightning_pose_tpu.ops.softargmax import run_subpixelmaxima
 
-__all__ = ["HeatmapTrackerMHCRNN", "make_context_windows", "merge_heads_by_confidence"]
+__all__ = [
+    "HeatmapTrackerMHCRNN",
+    "make_context_windows",
+    "repeat_center_stack",
+    "merge_heads_by_confidence",
+]
 
 
 def make_context_windows(
@@ -38,11 +43,24 @@ def make_context_windows(
     measured 21.4 px test vs 4.25 px with repeated centers on
     mirror-mouse — see docs/architecture.md)."""
     t = frames.shape[0]
+    if t < 5:
+        raise ValueError(
+            f"context windows need at least 5 frames, got a sequence of {t}"
+        )
     if repeat_center:
         centers = frames[2:t - 2]
         return jnp.repeat(centers[:, None], 5, axis=1)
     windows = [frames[i:i + 5] for i in range(t - 4)]
     return jnp.stack(windows, axis=0)
+
+
+def repeat_center_stack(stacks: jax.Array, time_axis: int) -> jax.Array:
+    """Normalize pre-windowed context stacks to 5 copies of each window's
+    center frame along ``time_axis`` (the repeat_center invariant: window
+    length 5, center index 2 — kept in one place; the MF head hard-codes
+    the same center, heads/heatmap_mhcrnn.py)."""
+    center = jax.lax.index_in_dim(stacks, 2, axis=time_axis, keepdims=True)
+    return jnp.repeat(center, 5, axis=time_axis)
 
 
 def merge_heads_by_confidence(
@@ -78,6 +96,12 @@ class HeatmapTrackerMHCRNN(nn.Module):
     deconv_out_channels: int | None = None
     image_size: int = 256
     dtype: Any = jnp.bfloat16
+    # model.mhcrnn_context_mode=repeat_center: stacks are 5 copies of the
+    # center frame, so encode the center ONCE and tile its features over
+    # the time axis — exact-equal heads input (duplicating samples changes
+    # neither batch-norm statistics nor per-frame features) at ~1/5 the
+    # backbone FLOPs in training, eval, and video inference
+    context_repeat: bool = False
 
     def setup(self) -> None:
         if self.downsample_factor != 2:
@@ -114,9 +138,13 @@ class HeatmapTrackerMHCRNN(nn.Module):
                 _unfold_view_channels(hm_mf, b, v),
             )
         b, t, h, w, c = images.shape
-        flat = images.reshape(b * t, h, w, c)
-        features = self.backbone(flat, train=train)
-        features = features.reshape(b, t, *features.shape[1:])
+        if self.context_repeat:
+            features = self.backbone(images[:, t // 2], train=train)
+            features = jnp.repeat(features[:, None], t, axis=1)
+        else:
+            flat = images.reshape(b * t, h, w, c)
+            features = self.backbone(flat, train=train)
+            features = features.reshape(b, t, *features.shape[1:])
         return self.head(features)
 
     def decode(

@@ -135,6 +135,11 @@ def test_mhcrnn_tracker(rng_key):
                 np.asarray(win_r[i, t]), np.asarray(seq[i + 2])
             )
 
+    # sequences shorter than one window raise (not a silent empty output)
+    for rc in (False, True):
+        with pytest.raises(ValueError, match="at least 5 frames"):
+            make_context_windows(jnp.zeros((4, 16, 16, 3)), repeat_center=rc)
+
     # confidence merge picks the higher-confidence head per keypoint
     kp_sf = jnp.asarray([[1.0, 1.0, 2.0, 2.0]])
     kp_mf = jnp.asarray([[5.0, 5.0, 6.0, 6.0]])
@@ -143,6 +148,46 @@ def test_mhcrnn_tracker(rng_key):
     kp, conf = merge_heads_by_confidence(kp_sf, conf_sf, kp_mf, conf_mf)
     np.testing.assert_allclose(np.asarray(kp), [[1.0, 1.0, 6.0, 6.0]])
     np.testing.assert_allclose(np.asarray(conf), [[0.9, 0.7]])
+
+
+def test_mhcrnn_context_repeat_encodes_center_once(rng_key):
+    """context_repeat=True (the tracker-side half of
+    model.mhcrnn_context_mode=repeat_center) encodes the center frame once
+    and tiles features — outputs must match the 5x-redundant dense path
+    on repeated-center stacks (same params; ~1/5 the backbone FLOPs)."""
+    from lightning_pose_tpu.models.heatmap_tracker_mhcrnn import (
+        HeatmapTrackerMHCRNN,
+        repeat_center_stack,
+    )
+
+    dense = HeatmapTrackerMHCRNN(
+        backbone_arch="resnet18", num_keypoints=3, image_size=128,
+        dtype=jnp.float32,
+    )
+    fast = HeatmapTrackerMHCRNN(
+        backbone_arch="resnet18", num_keypoints=3, image_size=128,
+        dtype=jnp.float32, context_repeat=True,
+    )
+    frames = jax.random.uniform(rng_key, (2, 1, 128, 128, 3))
+    stacks = jnp.repeat(frames, 5, axis=1)  # repeated-center stacks
+    variables = dense.init(rng_key, stacks, train=False)
+    # identical parameter trees: a checkpoint loads into either mode
+    hm_sf_d, hm_mf_d = dense.apply(variables, stacks, train=False)
+    hm_sf_f, hm_mf_f = fast.apply(variables, stacks, train=False)
+    np.testing.assert_allclose(
+        np.asarray(hm_sf_d), np.asarray(hm_sf_f), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hm_mf_d), np.asarray(hm_mf_f), atol=1e-5
+    )
+
+    # the helper normalizes arbitrary stacks to repeated centers
+    mixed = jax.random.uniform(jax.random.PRNGKey(1), (2, 5, 8, 8, 3))
+    norm = repeat_center_stack(mixed, time_axis=1)
+    for t in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(norm[:, t]), np.asarray(mixed[:, 2])
+        )
 
 
 def test_multiview_tracker(rng_key):
